@@ -1,0 +1,68 @@
+"""Golden tests: our BPE tokenizer must reproduce the reference CLIP
+tokenizer (reference clip/simple_tokenizer.py) exactly."""
+
+import numpy as np
+import pytest
+
+from mudpt_tpu.tokenizer import tokenize, get_tokenizer, SOT_TOKEN, EOT_TOKEN
+
+from tests.reference_oracle import import_reference_tokenizer
+
+SAMPLES = [
+    "a photo of a cat.",
+    "a photo of a Abyssinian, a type of pet.",
+    "X X a photo of a 2012 Tesla Model S.",
+    "a centered satellite photo of Annual Crop Land.",
+    "this is a photo of british_shorthair",
+    "itap of a dog!",
+    "graffiti of a Boeing 737-700.",
+    "a bad photo of the number 42",
+    "Face's texture, weird-punctuation... OK?",
+    "",
+]
+
+
+@pytest.fixture(scope="module")
+def ref_tok():
+    return import_reference_tokenizer()
+
+
+def test_vocab_size():
+    assert get_tokenizer().vocab_size == 49408
+    assert get_tokenizer().sot == SOT_TOKEN
+    assert get_tokenizer().eot == EOT_TOKEN
+
+
+@pytest.mark.parametrize("text", SAMPLES)
+def test_encode_matches_reference(ref_tok, text):
+    ours = get_tokenizer().encode(text)
+    theirs = ref_tok.encode(text)
+    assert ours == theirs, f"{text!r}: {ours} != {theirs}"
+
+
+def test_decode_roundtrip():
+    tok = get_tokenizer()
+    ids = tok.encode("a photo of a dog.")
+    assert tok.decode(ids).strip() == "a photo of a dog ."
+
+
+def test_tokenize_shape_and_padding():
+    arr = tokenize(["a photo of a cat.", "hi"])
+    assert arr.shape == (2, 77)
+    assert arr.dtype == np.int32
+    assert arr[0, 0] == SOT_TOKEN
+    # EOT is the max token id in each row (the EOT-gather invariant)
+    assert arr[0].max() == EOT_TOKEN
+    row = arr[1]
+    eot_pos = int(np.argmax(row))
+    assert row[eot_pos] == EOT_TOKEN
+    assert (row[eot_pos + 1 :] == 0).all()
+
+
+def test_tokenize_too_long_raises_and_truncates():
+    long = "word " * 100
+    with pytest.raises(RuntimeError):
+        tokenize(long)
+    arr = tokenize(long, truncate=True)
+    assert arr.shape == (1, 77)
+    assert arr[0, -1] == EOT_TOKEN
