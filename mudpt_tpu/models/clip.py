@@ -1,0 +1,222 @@
+"""CLIP model: config, parameter initialization, and forward functions.
+
+The parameter tree is a nested dict of arrays:
+
+  params = {
+    "visual": {patch_w, class_embedding, pos_embedding, ln_pre, blocks,
+               ln_post, proj},
+    "text":   {token_embedding, pos_embedding, blocks, ln_final, projection},
+    "logit_scale": scalar,
+  }
+
+with ``blocks`` stacked on a leading layer axis (see transformer.py).
+Random initialization reproduces the reference's ``initialize_parameters``
+(clip/model.py:781-808); checkpoint loading goes through convert.py with the
+same shape-inference rules as the reference ``build_model``
+(clip/model.py:881-921).
+
+Precision: :func:`cast_matmul_weights` mirrors ``convert_weights``
+(clip/model.py:857-878) — only matmul/conv/attention weights and the two
+projections change dtype; LayerNorm params and embeddings stay float32, and
+LayerNorm always computes in fp32 (layers.py).  On TPU the reduced dtype is
+bfloat16 (the fp16<->bf16 drift is absorbed by the parity budget; see
+SURVEY.md §7 hard parts).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class CLIPConfig:
+    embed_dim: int = 512
+    image_resolution: int = 224
+    vision_layers: int = 12
+    vision_width: int = 768
+    vision_patch_size: int = 16
+    context_length: int = 77
+    vocab_size: int = 49408
+    transformer_width: int = 512
+    transformer_heads: int = 8
+    transformer_layers: int = 12
+
+    @property
+    def vision_heads(self) -> int:
+        return self.vision_width // 64
+
+    @property
+    def grid_size(self) -> int:
+        return self.image_resolution // self.vision_patch_size
+
+    @property
+    def vision_seq_len(self) -> int:
+        return self.grid_size ** 2 + 1
+
+
+VIT_B16 = CLIPConfig()
+VIT_B32 = CLIPConfig(vision_patch_size=32)
+VIT_L14 = CLIPConfig(
+    embed_dim=768, vision_layers=24, vision_width=1024, vision_patch_size=14,
+    transformer_width=768, transformer_heads=12, transformer_layers=12,
+)
+
+
+def _init_block_stack(key, layers: int, width: int) -> dict:
+    """Stacked residual blocks with the reference init scheme
+    (clip/model.py:800-806): attn in-proj std w^-0.5, out-proj and mlp proj
+    std (w^-0.5)(2L)^-0.5, fc std (2w)^-0.5; biases zero, LN unit/zero."""
+    k = jax.random.split(key, 4)
+    attn_std = width ** -0.5
+    proj_std = (width ** -0.5) * ((2 * layers) ** -0.5)
+    fc_std = (2 * width) ** -0.5
+    return {
+        "ln_1": {"scale": jnp.ones((layers, width)), "bias": jnp.zeros((layers, width))},
+        "attn": {
+            "qkv_w": jax.random.normal(k[0], (layers, width, 3 * width)) * attn_std,
+            "qkv_b": jnp.zeros((layers, 3 * width)),
+            "out_w": jax.random.normal(k[1], (layers, width, width)) * proj_std,
+            "out_b": jnp.zeros((layers, width)),
+        },
+        "ln_2": {"scale": jnp.ones((layers, width)), "bias": jnp.zeros((layers, width))},
+        "mlp": {
+            "fc_w": jax.random.normal(k[2], (layers, width, 4 * width)) * fc_std,
+            "fc_b": jnp.zeros((layers, 4 * width)),
+            "proj_w": jax.random.normal(k[3], (layers, 4 * width, width)) * proj_std,
+            "proj_b": jnp.zeros((layers, width)),
+        },
+    }
+
+
+def init_clip_params(key: jax.Array, cfg: CLIPConfig = VIT_B16) -> dict:
+    kv, kt, k1, k2, k3, k4, k5 = jax.random.split(key, 7)
+    vw, tw = cfg.vision_width, cfg.transformer_width
+    vscale = vw ** -0.5
+    visual = {
+        "patch_w": jax.random.normal(
+            k1, (cfg.vision_patch_size ** 2 * 3, vw)
+        ) * vscale,
+        "class_embedding": jax.random.normal(k2, (vw,)) * vscale,
+        "pos_embedding": jax.random.normal(k3, (cfg.vision_seq_len, vw)) * vscale,
+        "ln_pre": {"scale": jnp.ones((vw,)), "bias": jnp.zeros((vw,))},
+        "blocks": _init_block_stack(kv, cfg.vision_layers, vw),
+        "ln_post": {"scale": jnp.ones((vw,)), "bias": jnp.zeros((vw,))},
+        "proj": jax.random.normal(k4, (vw, cfg.embed_dim)) * vscale,
+    }
+    text = {
+        "token_embedding": jax.random.normal(k5, (cfg.vocab_size, tw)) * 0.02,
+        "pos_embedding": jax.random.normal(kt, (cfg.context_length, tw)) * 0.01,
+        "blocks": _init_block_stack(kt, cfg.transformer_layers, tw),
+        "ln_final": {"scale": jnp.ones((tw,)), "bias": jnp.zeros((tw,))},
+        "projection": jax.random.normal(kt, (tw, cfg.embed_dim)) * (tw ** -0.5),
+    }
+    return {
+        "visual": visual,
+        "text": text,
+        "logit_scale": jnp.asarray(math.log(1 / 0.07), jnp.float32),
+    }
+
+
+_CAST_PATHS = (
+    # visual matmul weights (convert_weights touches Conv/Linear/MHA/proj,
+    # reference clip/model.py:857-878)
+    ("visual", "patch_w"),
+    ("visual", "blocks", "attn"),
+    ("visual", "blocks", "mlp"),
+    ("visual", "proj"),
+    ("text", "blocks", "attn"),
+    ("text", "blocks", "mlp"),
+    ("text", "projection"),
+)
+
+
+def cast_matmul_weights(params: dict, dtype) -> dict:
+    """Cast only matmul/attention weights (incl. biases, as the reference
+    halves Linear biases too); embeddings and LayerNorms stay float32."""
+    out = jax.tree_util.tree_map(lambda x: x, params)  # shallow-ish copy
+
+    def cast_sub(tree):
+        return jax.tree_util.tree_map(lambda x: x.astype(dtype), tree)
+
+    for path in _CAST_PATHS:
+        node = out
+        for k in path[:-1]:
+            node = node[k]
+        node[path[-1]] = cast_sub(node[path[-1]])
+    return out
+
+
+# ----------------------------------------------------------------------------
+# Forward functions
+# ----------------------------------------------------------------------------
+
+def encode_image(
+    params: dict,
+    images: jax.Array,
+    cfg: CLIPConfig = VIT_B16,
+    *,
+    compute_dtype=jnp.float32,
+    layer0_prompt: Optional[jax.Array] = None,
+    deep_prompts: Optional[jax.Array] = None,
+):
+    from mudpt_tpu.models.vit import vit_forward
+
+    return vit_forward(
+        params["visual"],
+        images,
+        patch_size=cfg.vision_patch_size,
+        n_head=cfg.vision_heads,
+        compute_dtype=compute_dtype,
+        layer0_prompt=layer0_prompt,
+        deep_prompts=deep_prompts,
+    )
+
+
+def encode_text(
+    params: dict,
+    tokens: jax.Array,
+    cfg: CLIPConfig = VIT_B16,
+    *,
+    compute_dtype=jnp.float32,
+    deep_prompts: Optional[jax.Array] = None,
+):
+    """Zero-shot text encoding from raw token ids (N, 77)."""
+    from mudpt_tpu.models.text import embed_tokens, text_forward
+
+    x = embed_tokens(params["text"], tokens, compute_dtype)
+    eot_idx = jnp.argmax(tokens, axis=-1)
+    return text_forward(
+        params["text"],
+        x,
+        eot_idx,
+        n_head=cfg.transformer_heads,
+        deep_prompts=deep_prompts,
+    )
+
+
+def cosine_logits(image_features, text_features, logit_scale):
+    """L2-normalize both sides, scale by exp(logit_scale)
+    (reference clip/model.py:840-854)."""
+    img = image_features / jnp.linalg.norm(image_features, axis=-1, keepdims=True)
+    txt = text_features / jnp.linalg.norm(text_features, axis=-1, keepdims=True)
+    scale = jnp.exp(logit_scale).astype(img.dtype)
+    return scale * jnp.dot(img, txt.T)
+
+
+def clip_forward(params, images, tokens, cfg: CLIPConfig = VIT_B16, *, compute_dtype=jnp.float32):
+    img = encode_image(params, images, cfg, compute_dtype=compute_dtype)
+    txt = encode_text(params, tokens, cfg, compute_dtype=compute_dtype)
+    logits_per_image = cosine_logits(
+        img.astype(jnp.float32), txt.astype(jnp.float32), params["logit_scale"]
+    )
+    return logits_per_image, logits_per_image.T
+
+
+def num_params(tree) -> int:
+    return int(sum(np.prod(x.shape) for x in jax.tree_util.tree_leaves(tree)))

@@ -1,0 +1,85 @@
+"""Primitive layers as pure functions over parameter dicts.
+
+Numerics contract (behavior pinned by the reference, cited per-op):
+  * LayerNorm computes in float32 and casts back to the input dtype
+    (reference clip/model.py:163-169) — on TPU the backbone runs bfloat16
+    activations with fp32 normalization statistics.
+  * QuickGELU is ``x * sigmoid(1.702 x)`` (reference clip/model.py:172-175).
+  * Attention is a standard pre-LN residual MHA with a fused QKV projection
+    (reference clip/model.py:177-198 uses ``nn.MultiheadAttention``);
+    here it is expressed batch-first as three MXU matmuls with fp32 softmax.
+
+All functions take ``(params, x, ...)`` and are shape-polymorphic over a
+leading batch dimension; weights use (in, out) layout so activations hit the
+MXU without transposes.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def layer_norm(p, x: jax.Array, eps: float = 1e-5) -> jax.Array:
+    dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    y = y * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+    return y.astype(dtype)
+
+
+def quick_gelu(x: jax.Array) -> jax.Array:
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+def linear(p, x: jax.Array) -> jax.Array:
+    return jnp.dot(x, p["w"].astype(x.dtype)) + p["b"].astype(x.dtype)
+
+
+def attention(
+    p,
+    x: jax.Array,
+    n_head: int,
+    mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Multi-head self-attention, batch-first: x (B, S, D) -> (B, S, D).
+
+    ``mask`` is an additive (S, S) float array (the text tower's causal mask,
+    reference clip/model.py:810-816) or None for full attention.
+    """
+    B, S, D = x.shape
+    head_dim = D // n_head
+    qkv = jnp.dot(x, p["qkv_w"].astype(x.dtype)) + p["qkv_b"].astype(x.dtype)
+    qkv = qkv.reshape(B, S, 3, n_head, head_dim)
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, S, H, hd)
+    q = q.transpose(0, 2, 1, 3)  # (B, H, S, hd)
+    k = k.transpose(0, 2, 1, 3)
+    v = v.transpose(0, 2, 1, 3)
+
+    scale = head_dim ** -0.5
+    scores = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    if mask is not None:
+        scores = scores + mask.astype(jnp.float32)
+    probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+    out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+    out = out.transpose(0, 2, 1, 3).reshape(B, S, D)
+    return jnp.dot(out, p["out_w"].astype(x.dtype)) + p["out_b"].astype(x.dtype)
+
+
+def mlp(p, x: jax.Array) -> jax.Array:
+    h = jnp.dot(x, p["fc_w"].astype(x.dtype)) + p["fc_b"].astype(x.dtype)
+    h = quick_gelu(h)
+    return jnp.dot(h, p["proj_w"].astype(x.dtype)) + p["proj_b"].astype(x.dtype)
+
+
+def residual_block(p, x: jax.Array, n_head: int, mask=None) -> jax.Array:
+    """One pre-LN residual block (reference clip/model.py:177-198)."""
+    x = x + attention(p["attn"], layer_norm(p["ln_1"], x), n_head, mask)
+    x = x + mlp(p["mlp"], layer_norm(p["ln_2"], x))
+    return x

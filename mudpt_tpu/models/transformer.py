@@ -1,0 +1,116 @@
+"""Prompt-injectable transformer as a single ``lax.scan`` over stacked
+per-layer weights.
+
+This replaces the reference's four byte-identical Python block classes that
+thread a ``[x, prompts, nth_layer]`` list through ``nn.Sequential``
+(reference clip/model.py:202-401) with one generic mechanism:
+
+  * block weights are stacked on a leading layer axis, so the whole tower
+    compiles to one fused scan body instead of 12 unrolled blocks;
+  * prompt injection is data-driven: a padded ``(L, n_ctx, D)`` prompt array
+    plus an ``(L,)`` boolean mask say which layers splice which rows.
+
+Splicing semantics pinned by the reference:
+  * text layers replace positions ``1 .. 1+n_ctx`` — keep the SOS prefix and
+    the class-name suffix (clip/model.py:283-289);
+  * visual layers replace the LAST ``n_ctx`` positions (clip/model.py:291-297);
+  * layer 0 never splices (the layer-0 prompt is placed by the tower before
+    the transformer); prompted layers are 1..depth-1, and deeper layers keep
+    the last spliced tokens in the sequence (they are replaced, not removed).
+
+Sequence length is constant across all layers, which is what makes the scan
+legal — and is also why this maps well onto the TPU: one compiled body,
+static shapes, no retracing.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from mudpt_tpu.models.layers import residual_block
+
+
+def make_injection_schedule(
+    num_layers: int,
+    deep_prompts: Optional[jax.Array],
+    *,
+    first_layer: int = 1,
+):
+    """Build the padded per-layer prompt array + mask.
+
+    ``deep_prompts``: (depth-1, n_ctx, D) rows for layers
+    ``first_layer .. first_layer+depth-2`` (reference semantics: block i
+    splices ``prompts[i-1]``, clip/model.py:283-297), or None.
+
+    Returns (prompts_padded (L, n_ctx, D) | None, mask (L,) bool | None).
+    """
+    if deep_prompts is None or deep_prompts.shape[0] == 0:
+        return None, None
+    depth_m1, n_ctx, dim = deep_prompts.shape
+    # Shift rows down by `first_layer`, then truncate/zero-pad to num_layers.
+    # (dynamic_update_slice would clamp when depth-1 exceeds the remaining
+    # layers — prompts deeper than the tower are simply never consumed.)
+    zeros_head = jnp.zeros((first_layer, n_ctx, dim), deep_prompts.dtype)
+    prompts = jnp.concatenate([zeros_head, deep_prompts], axis=0)[:num_layers]
+    if prompts.shape[0] < num_layers:
+        tail = jnp.zeros(
+            (num_layers - prompts.shape[0], n_ctx, dim), deep_prompts.dtype
+        )
+        prompts = jnp.concatenate([prompts, tail], axis=0)
+    layer_ids = jnp.arange(num_layers)
+    mask = (layer_ids >= first_layer) & (layer_ids < first_layer + depth_m1)
+    return prompts, mask
+
+
+def splice_text(x: jax.Array, prompt: jax.Array, n_ctx: int) -> jax.Array:
+    """Replace positions 1..1+n_ctx of (B, S, D) x with the prompt tokens."""
+    B = x.shape[0]
+    p = jnp.broadcast_to(prompt.astype(x.dtype)[None], (B, n_ctx, x.shape[-1]))
+    return jnp.concatenate([x[:, :1], p, x[:, 1 + n_ctx :]], axis=1)
+
+
+def splice_visual(x: jax.Array, prompt: jax.Array, n_ctx: int) -> jax.Array:
+    """Replace the last n_ctx positions of (B, S, D) x with the prompt."""
+    B, S, D = x.shape
+    p = jnp.broadcast_to(prompt.astype(x.dtype)[None], (B, n_ctx, D))
+    return jnp.concatenate([x[:, : S - n_ctx], p], axis=1)
+
+
+def transformer_forward(
+    stacked_params,
+    x: jax.Array,
+    *,
+    n_head: int,
+    mask: Optional[jax.Array] = None,
+    prompts: Optional[jax.Array] = None,
+    prompt_mask: Optional[jax.Array] = None,
+    n_ctx: int = 0,
+    is_text: bool = False,
+) -> jax.Array:
+    """Run the full tower.  x: (B, S, D) -> (B, S, D).
+
+    ``stacked_params``: block param pytree with leading layer axis.
+    ``prompts``/``prompt_mask``: from :func:`make_injection_schedule`.
+    """
+    if prompts is None:
+        def body(h, layer_params):
+            h = residual_block(layer_params, h, n_head, mask)
+            return h, None
+
+        x, _ = jax.lax.scan(body, x, stacked_params)
+        return x
+
+    splice = splice_text if is_text else splice_visual
+
+    def body(h, scanned):
+        layer_params, prompt, use = scanned
+        spliced = splice(h, prompt, n_ctx)
+        h = jnp.where(use, spliced, h)
+        h = residual_block(layer_params, h, n_head, mask)
+        return h, None
+
+    x, _ = jax.lax.scan(body, x, (stacked_params, prompts, prompt_mask))
+    return x
