@@ -1,0 +1,48 @@
+"""Synthetic in-memory dataset for tests and benchmarks.
+
+Not present in the reference (which has no test suite at all — SURVEY.md §4);
+this provides a deterministic K-class dataset of random-noise images with a
+class-dependent mean shift so that a working trainer can actually fit it.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from mudpt_tpu.data.datum import DatasetBase, Datum, subsample_classes
+from mudpt_tpu.utils.registry import DATASET_REGISTRY
+
+_NAMES = [
+    "cat", "dog", "car", "tree", "house", "bird", "fish", "chair",
+    "boat", "plane", "horse", "flower", "clock", "phone", "lamp", "shoe",
+]
+
+
+@DATASET_REGISTRY.register()
+class Synthetic(DatasetBase):
+    dataset_dir = "synthetic"
+
+    @classmethod
+    def build(cls, cfg, num_classes: int = 4, per_class: int = 8, size: int = 0):
+        size = size or cfg.INPUT.SIZE[0]
+        rng = np.random.RandomState(cfg.SEED)
+        splits = {"train": [], "val": [], "test": []}
+        for label in range(num_classes):
+            mean = (label + 1) / (num_classes + 1)
+            for split, count in (("train", per_class), ("val", 2), ("test", 4)):
+                for _ in range(count):
+                    img = rng.rand(size, size, 3).astype(np.float32) * 0.3 + mean
+                    splits[split].append(
+                        Datum(
+                            label=label,
+                            classname=_NAMES[label % len(_NAMES)],
+                            array=np.clip(img, 0, 1),
+                        )
+                    )
+        train, val, test = subsample_classes(
+            splits["train"], splits["val"], splits["test"],
+            subsample=cfg.DATASET.SUBSAMPLE_CLASSES,
+        )
+        self = cls.__new__(cls)
+        DatasetBase.__init__(self, train_x=train, val=val, test=test)
+        return self

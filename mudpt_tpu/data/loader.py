@@ -1,0 +1,113 @@
+"""Host-side batching with background prefetch.
+
+Replaces the reference's torch ``DataLoader`` over Dassl's
+``DatasetWrapper``.  Batches are numpy dicts ``{image (B,H,W,3) f32,
+label (B,) i32, valid (B,) bool}``; the final test batch is zero-padded to a
+full batch with ``valid`` marking real rows — keeping every jitted step at
+one static shape (no retrace per epoch tail).
+
+Decoding/augmentation runs in a small thread pool overlapped with device
+compute via a bounded prefetch queue.
+"""
+
+from __future__ import annotations
+
+import queue
+import random
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator, List, Optional
+
+import numpy as np
+
+from mudpt_tpu.data.datum import Datum
+from mudpt_tpu.data.transforms import load_image
+
+
+class DataLoader:
+    def __init__(
+        self,
+        items: List[Datum],
+        transform,
+        batch_size: int,
+        *,
+        shuffle: bool = False,
+        drop_last: bool = False,
+        num_workers: int = 4,
+        seed: int = 0,
+        prefetch: int = 2,
+    ):
+        self.items = items
+        self.transform = transform
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last and len(items) >= batch_size
+        self.num_workers = max(1, num_workers)
+        self.prefetch = prefetch
+        self._rng = random.Random(seed)
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.items)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _decode(self, item: Datum) -> np.ndarray:
+        if item.array is not None:
+            arr = np.asarray(item.array, np.float32)
+            if self.transform is not None and hasattr(self.transform, "apply_array"):
+                arr = self.transform.apply_array(arr)
+            return arr
+        return self.transform(load_image(item.impath))
+
+    def _make_batch(self, chunk: List[Datum], pool) -> dict:
+        images = list(pool.map(self._decode, chunk))
+        labels = [it.label for it in chunk]
+        n = len(chunk)
+        pad = self.batch_size - n
+        if pad:
+            images.extend([np.zeros_like(images[0])] * pad)
+            labels.extend([0] * pad)
+        return {
+            "image": np.stack(images).astype(np.float32),
+            "label": np.asarray(labels, np.int32),
+            "valid": np.arange(self.batch_size) < n,
+        }
+
+    def __iter__(self) -> Iterator[dict]:
+        order = list(range(len(self.items)))
+        if self.shuffle:
+            self._rng.shuffle(order)
+        self._epoch += 1
+
+        chunks = []
+        for i in range(0, len(order), self.batch_size):
+            chunk = [self.items[j] for j in order[i : i + self.batch_size]]
+            if self.drop_last and len(chunk) < self.batch_size:
+                continue
+            chunks.append(chunk)
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+        error: List[BaseException] = []
+
+        def producer():
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    for chunk in chunks:
+                        q.put(self._make_batch(chunk, pool))
+            except BaseException as e:  # surface in consumer
+                error.append(e)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            batch = q.get()
+            if batch is sentinel:
+                if error:
+                    raise error[0]
+                return
+            yield batch
