@@ -26,12 +26,14 @@ class Synthetic(DatasetBase):
     def build(cls, cfg, num_classes: int = 4, per_class: int = 8, size: int = 0):
         size = size or cfg.INPUT.SIZE[0]
         rng = np.random.RandomState(cfg.SEED)
+        # distinct RGB tints per class: global color is the class signal
+        colors = rng.rand(num_classes, 3) * 0.8 + 0.1
         splits = {"train": [], "val": [], "test": []}
         for label in range(num_classes):
-            mean = (label + 1) / (num_classes + 1)
+            mean = colors[label]
             for split, count in (("train", per_class), ("val", 2), ("test", 4)):
                 for _ in range(count):
-                    img = rng.rand(size, size, 3).astype(np.float32) * 0.3 + mean
+                    img = rng.rand(size, size, 3).astype(np.float32) * 0.15 + mean
                     splits[split].append(
                         Datum(
                             label=label,

@@ -1,0 +1,103 @@
+"""Device mesh + sharding layout.
+
+The reference's only parallelism is single-process ``nn.DataParallel``
+(reference trainers/mudpt.py:230-233).  The TPU-native layout here is a 2-D
+``Mesh(('data', 'model'))``:
+
+  * ``data``  — batch dimension of the image tower (pure DP; XLA inserts the
+    ICI gradient all-reduce);
+  * ``model`` — the CLASS dimension of the text tower.  Prompt tuning
+    re-encodes all n_cls class prompts every step (SURVEY.md §7 "text tower
+    recompute"), so for large class counts (ImageNet: 1000) the text
+    transformer is the dominant cost; sharding classes across chips is the
+    honest "tensor parallel" axis of this workload.  Logits end up sharded
+    (data, model); the softmax/logsumexp reduction over the model axis is
+    inserted by XLA from the sharding annotations.
+
+Everything is expressed with ``jax.sharding`` annotations on global arrays —
+no explicit collectives; multi-host setups call
+``jax.distributed.initialize`` first and feed per-host batches via
+``jax.make_array_from_process_local_data``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+class MeshContext:
+    def __init__(self, mesh: Mesh):
+        self.mesh = mesh
+
+    @property
+    def n_data(self) -> int:
+        return self.mesh.shape["data"]
+
+    @property
+    def n_model(self) -> int:
+        return self.mesh.shape["model"]
+
+    def sharding(self, *spec) -> NamedSharding:
+        return NamedSharding(self.mesh, P(*spec))
+
+    @property
+    def batch_sharding(self) -> NamedSharding:
+        return self.sharding("data")
+
+    @property
+    def class_sharding(self) -> NamedSharding:
+        return self.sharding("model")
+
+    @property
+    def replicated(self) -> NamedSharding:
+        return self.sharding()
+
+
+def build_mesh(cfg=None, devices=None) -> MeshContext:
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    n_model = (cfg.PARALLEL.MODEL if cfg is not None else 1) or 1
+    n_model = min(n_model, n)
+    n_data = (cfg.PARALLEL.DATA if cfg is not None else 0) or (n // n_model)
+    used = devices[: n_data * n_model]
+    arr = np.asarray(used).reshape(n_data, n_model)
+    return MeshContext(Mesh(arr, ("data", "model")))
+
+
+def shard_batch(ctx: MeshContext, batch: dict) -> dict:
+    """Pad the batch to a multiple of n_data and shard it on the data axis."""
+    out = {}
+    for k, v in batch.items():
+        v = np.asarray(v)
+        rem = v.shape[0] % ctx.n_data
+        if rem:
+            pad = ctx.n_data - rem
+            widths = [(0, pad)] + [(0, 0)] * (v.ndim - 1)
+            v = np.pad(v, widths)
+            if k == "valid":
+                v[-pad:] = False
+        out[k] = jax.device_put(v, ctx.batch_sharding)
+    return out
+
+
+def shard_class_tree(ctx: MeshContext, tree, pad_to: Optional[int] = None):
+    """Shard leading (class) axis on the model axis, padding as needed."""
+
+    def place(x):
+        x = np.asarray(x)
+        n = x.shape[0]
+        target = pad_to or (-(-n // ctx.n_model) * ctx.n_model)
+        if target != n:
+            widths = [(0, target - n)] + [(0, 0)] * (x.ndim - 1)
+            x = np.pad(x, widths)
+        return jax.device_put(x, ctx.class_sharding)
+
+    return jax.tree_util.tree_map(place, tree)
+
+
+def replicate(ctx: MeshContext, tree):
+    return jax.device_put(tree, ctx.replicated)

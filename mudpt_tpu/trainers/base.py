@@ -1,0 +1,342 @@
+"""Trainer engine: the Dassl ``TrainerX`` equivalent, TPU-native.
+
+Responsibilities (reference call stack SURVEY.md §3.1): data manager, model
+build, optimizer/schedule, the jitted train step (value_and_grad w.r.t. the
+PROMPT pytree only — the frozen backbone is a non-differentiated argument,
+so optimizer state covers prompts exclusively, matching the per-trainer
+requires_grad rules of SURVEY.md §2.3), epoch loop with print-freq logging,
+per-epoch checkpoints, evaluation with accuracy/macro-F1, and the
+load-for-transfer semantics (class-dependent buffers rebuilt from the live
+dataset, learned prompts restored — reference trainers/mudpt.py:270-303).
+
+Sharding: one jitted step over a Mesh('data','model') — batch on `data`,
+class-axis text buffers on `model`, params replicated (see parallel/mesh.py).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import time
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from mudpt_tpu.data import DataManager
+from mudpt_tpu.models.clip import (
+    CLIPConfig,
+    VIT_B16,
+    VIT_B32,
+    VIT_L14,
+    cast_matmul_weights,
+    init_clip_params,
+)
+from mudpt_tpu.models.convert import load_clip_checkpoint
+from mudpt_tpu.parallel import build_mesh, replicate, shard_batch, shard_class_tree
+from mudpt_tpu.trainers.optim import build_optimizer
+from mudpt_tpu.utils.checkpoint import load_checkpoint, restore_into, save_checkpoint
+from mudpt_tpu.utils.logging import MetricsLogger
+from mudpt_tpu.utils.metrics import build_evaluator
+from mudpt_tpu.utils.registry import TRAINER_REGISTRY
+from mudpt_tpu.utils.rng import new_rng, set_seed
+
+TINY_TEST = CLIPConfig(
+    embed_dim=64,
+    image_resolution=32,
+    vision_layers=2,
+    vision_width=64,
+    vision_patch_size=16,
+    context_length=77,
+    vocab_size=49408,
+    transformer_width=64,
+    transformer_heads=1,
+    transformer_layers=2,
+)
+
+_NAMED_CONFIGS = {
+    "ViT-B/16": VIT_B16,
+    "ViT-B/32": VIT_B32,
+    "ViT-L/14": VIT_L14,
+    "test-tiny": TINY_TEST,
+}
+
+
+def load_backbone(cfg):
+    """CLIP backbone: from a local .pt checkpoint (MODEL.BACKBONE.PATH,
+    reference trainers/mudpt.py:20-38), an .npz converted cache, or random
+    init for the named architecture (PATH='random' — no-network runs)."""
+    path = cfg.MODEL.BACKBONE.PATH
+    name = cfg.MODEL.BACKBONE.NAME
+    if path and path not in ("random",):
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                f"MODEL.BACKBONE.PATH={path!r} not found. This environment has "
+                "no network access; provide a local OpenAI CLIP .pt/.npz file."
+            )
+        return load_clip_checkpoint(path)
+    cache = os.path.expanduser(
+        os.path.join("~/.cache/clip", name.replace("/", "-") + ".pt")
+    )
+    if path != "random" and os.path.exists(cache):
+        return load_clip_checkpoint(cache)
+    if name not in _NAMED_CONFIGS:
+        raise KeyError(f"Unknown backbone {name!r}; known: {list(_NAMED_CONFIGS)}")
+    clip_cfg = _NAMED_CONFIGS[name]
+    params = init_clip_params(new_rng(0), clip_cfg)
+    return clip_cfg, params
+
+
+class TrainerBase:
+    """Shared engine.  Subclasses implement ``build_model`` and set:
+
+      self.clip_cfg   CLIPConfig
+      self.frozen     backbone pytree (device)
+      self.aux        static buffers pytree (device; class-sharded arrays)
+      self.trainable  prompt pytree (device, replicated)
+      self.forward    fn(trainable, frozen, aux, images) -> (B, n_cls_padded) logits
+      self.model_name checkpoint subdirectory name
+    """
+
+    model_name = "prompt_learner"
+
+    def __init__(self, cfg, dataset=None):
+        self.cfg = cfg
+        set_seed(cfg.SEED)
+        self.mesh = build_mesh(cfg)
+        self.dm = DataManager(cfg, dataset)
+        self.num_classes = self.dm.num_classes
+        self.classnames = self.dm.classnames
+        self.metrics = MetricsLogger(cfg.OUTPUT_DIR)
+        # class axis padded to a multiple of the model-parallel degree;
+        # loss/eval statically slice back to num_classes
+        self.n_cls_padded = (
+            -(-self.num_classes // self.mesh.n_model) * self.mesh.n_model
+        )
+        self.epoch = 0
+        self._best_val = -1.0
+
+        hp = cfg.trainer_params() if cfg.TRAINER.NAME else None
+        prec = getattr(hp, "PREC", "fp32") if hp is not None else "fp32"
+        # fp16/amp -> bfloat16 on TPU (fp16 drift absorbed by parity budget)
+        self.compute_dtype = jnp.bfloat16 if prec in ("fp16", "amp") else jnp.float32
+
+        self.build_model()
+        if self.trainable is not None:
+            self._build_train_state()
+        self._jit_steps()
+
+    # ------------------------------------------------------------------
+    # model plumbing helpers for subclasses
+    # ------------------------------------------------------------------
+    def load_clip(self):
+        clip_cfg, params = load_backbone(self.cfg)
+        if self.compute_dtype == jnp.bfloat16:
+            params = cast_matmul_weights(params, jnp.bfloat16)
+        return clip_cfg, params
+
+    def place(self, frozen, aux_class_tree, aux_repl, trainable):
+        """Device placement with the standard layout."""
+        self.frozen = replicate(self.mesh, frozen)
+        aux = dict(aux_repl or {})
+        aux.update(
+            shard_class_tree(self.mesh, aux_class_tree, pad_to=self.n_cls_padded)
+        )
+        self.aux = aux
+        self.trainable = (
+            replicate(self.mesh, trainable) if trainable is not None else None
+        )
+
+    # ------------------------------------------------------------------
+    def _build_train_state(self):
+        steps_per_epoch = max(1, len(self.dm.train_loader))
+        self.tx, self.lr_schedule = build_optimizer(self.cfg.OPTIM, steps_per_epoch)
+        self.opt_state = self.tx.init(self.trainable)
+        self.global_step = 0
+
+    def _jit_steps(self):
+        forward = self.forward
+        n_cls = self.num_classes
+
+        def loss_fn(trainable, frozen, aux, batch):
+            logits = forward(trainable, frozen, aux, batch["image"])
+            logits = logits[:, :n_cls].astype(jnp.float32)
+            labels = batch["label"]
+            valid = batch["valid"].astype(jnp.float32)
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            nll = -jnp.take_along_axis(logp, labels[:, None], axis=1)[:, 0]
+            denom = jnp.maximum(valid.sum(), 1.0)
+            loss = (nll * valid).sum() / denom
+            acc = ((jnp.argmax(logits, -1) == labels) * valid).sum() / denom
+            return loss, acc
+
+        tx = getattr(self, "tx", None)
+
+        if tx is not None:
+
+            @functools.partial(jax.jit, donate_argnums=(0, 1))
+            def train_step(trainable, opt_state, frozen, aux, batch):
+                (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                    trainable, frozen, aux, batch
+                )
+                updates, opt_state = tx.update(grads, opt_state, trainable)
+                trainable = optax.apply_updates(trainable, updates)
+                return trainable, opt_state, loss, acc
+
+            self._train_step = train_step
+
+        inference = getattr(self, "model_inference", None) or forward
+
+        @jax.jit
+        def eval_step(trainable, frozen, aux, images):
+            logits = inference(trainable, frozen, aux, images)
+            return logits[:, :n_cls].astype(jnp.float32)
+
+        self._eval_step = eval_step
+
+    # ------------------------------------------------------------------
+    # training loop
+    # ------------------------------------------------------------------
+    def train(self):
+        cfg = self.cfg
+        max_epoch = cfg.OPTIM.MAX_EPOCH
+        num_batches = len(self.dm.train_loader)
+        print(f"Start training: {max_epoch} epochs x {num_batches} batches")
+        for self.epoch in range(max_epoch):
+            self.run_epoch()
+            self.after_epoch()
+        self.after_train()
+
+    def run_epoch(self):
+        cfg = self.cfg
+        num_batches = len(self.dm.train_loader)
+        t0 = time.time()
+        for batch_idx, batch in enumerate(self.dm.train_loader):
+            batch = shard_batch(self.mesh, batch)
+            self.trainable, self.opt_state, loss, acc = self._train_step(
+                self.trainable, self.opt_state, self.frozen, self.aux, batch
+            )
+            self.global_step += 1
+            if (batch_idx + 1) % max(1, cfg.TRAIN.PRINT_FREQ) == 0 or (
+                batch_idx + 1 == num_batches
+            ):
+                loss_v, acc_v = float(loss), float(acc)
+                lr = float(self.lr_schedule(self.global_step - 1))
+                elapsed = time.time() - t0
+                print(
+                    f"epoch [{self.epoch + 1}/{cfg.OPTIM.MAX_EPOCH}] "
+                    f"batch [{batch_idx + 1}/{num_batches}] "
+                    f"loss {loss_v:.4f} acc {100 * acc_v:.2f} lr {lr:.2e} "
+                    f"({elapsed:.1f}s)"
+                )
+                self.metrics.log(
+                    {
+                        "kind": "train",
+                        "epoch": self.epoch + 1,
+                        "step": self.global_step,
+                        "loss": loss_v,
+                        "acc": acc_v,
+                        "lr": lr,
+                    }
+                )
+
+    def after_epoch(self):
+        cfg = self.cfg
+        is_last = self.epoch + 1 == cfg.OPTIM.MAX_EPOCH
+        freq = cfg.TRAIN.CHECKPOINT_FREQ
+        do_val = (
+            cfg.TEST.FINAL_MODEL == "best_val" and self.dm.val_loader is not None
+        )
+        is_best = False
+        if do_val:
+            results = self.evaluate(self.dm.val_loader, split="val")
+            score = results["accuracy"]
+            if score > self._best_val:
+                self._best_val, is_best = score, True
+        if is_last or is_best or (freq > 0 and (self.epoch + 1) % freq == 0):
+            self.save_model(is_best=is_best)
+
+    def after_train(self):
+        if not self.cfg.TEST.NO_TEST:
+            self.test()
+        self.metrics.close()
+
+    # ------------------------------------------------------------------
+    # evaluation
+    # ------------------------------------------------------------------
+    def evaluate(self, loader, split: str = "test") -> Dict[str, float]:
+        evaluator = build_evaluator(self.cfg, self.num_classes, self.classnames)
+        for batch in loader:
+            sb = shard_batch(self.mesh, batch)
+            logits = self._eval_step(
+                self.trainable, self.frozen, self.aux, sb["image"]
+            )
+            logits = np.asarray(logits)[: len(batch["label"])]
+            evaluator.process(logits, batch["label"], batch["valid"])
+        results = evaluator.evaluate()
+        print(
+            f"=> result on {split}: "
+            + " ".join(
+                f"{k}: {v:.2f}" if isinstance(v, float) else f"{k}: {v}"
+                for k, v in results.items()
+                if not isinstance(v, dict)
+            )
+        )
+        self.metrics.log({"kind": "eval", "split": split, "epoch": self.epoch + 1,
+                          **{k: v for k, v in results.items() if not isinstance(v, dict)}})
+        return results
+
+    def test(self) -> Dict[str, float]:
+        split = self.cfg.TEST.SPLIT
+        loader = self.dm.val_loader if split == "val" else self.dm.test_loader
+        return self.evaluate(loader, split=split)
+
+    # ------------------------------------------------------------------
+    # checkpointing
+    # ------------------------------------------------------------------
+    def save_model(self, is_best: bool = False):
+        if self.trainable is None:
+            return
+        path = save_checkpoint(
+            self.cfg.OUTPUT_DIR,
+            self.model_name,
+            self.epoch + 1,
+            jax.device_get(self.trainable),
+            opt_state=None,
+            is_best=is_best,
+            meta={"trainer": self.cfg.TRAINER.NAME},
+        )
+        print(f"Checkpoint saved to {path}")
+
+    def load_model(self, directory: Optional[str], epoch: Optional[int] = None):
+        """Load learned prompt weights; class-dependent buffers stay as the
+        freshly-built ones (the reference deletes token_prefix/suffix from
+        the state dict for the same effect, mudpt.py:293-298)."""
+        if not directory:
+            print("load_model() skipped: no pretrained model given")
+            return
+        loaded, _, meta = load_checkpoint(directory, self.model_name, epoch)
+        print(
+            f"Loading weights for {self.model_name} from {directory} "
+            f"(epoch={meta.get('epoch')})"
+        )
+        self.trainable = replicate(
+            self.mesh, restore_into(jax.device_get(self.trainable), loaded)
+        )
+
+    # -- abstract -------------------------------------------------------
+    # subclasses must set self.forward (a pure function) in build_model()
+    forward: Callable = None
+    model_inference: Optional[Callable] = None
+
+    def build_model(self):  # pragma: no cover
+        raise NotImplementedError
+
+
+def build_trainer(cfg):
+    import mudpt_tpu.trainers  # ensure registration side effects
+
+    cls = TRAINER_REGISTRY.get(cfg.TRAINER.NAME)
+    return cls(cfg)

@@ -1,0 +1,91 @@
+"""Zero-shot CLIP trainers (reference trainers/zsclip.py:51-118).
+
+``ZeroshotCLIP``: per-dataset hand template, text features encoded once at
+build and cached.  ``ZeroshotCLIP2``: prompt ensembling — mean of normalized
+text features over IMAGENET_TEMPLATES_SELECT (+ the dataset template when
+not ImageNet), re-normalized.
+
+This is the framework's parity oracle: any backbone-port bug shows up as a
+zero-shot accuracy deviation before any training exists (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mudpt_tpu.models.clip import encode_image, encode_text
+from mudpt_tpu.tokenizer import tokenize
+from mudpt_tpu.trainers.base import TrainerBase
+from mudpt_tpu.trainers.templates import CUSTOM_TEMPLATES, IMAGENET_TEMPLATES_SELECT
+from mudpt_tpu.utils.registry import TRAINER_REGISTRY
+
+
+def _encode_templates(params, clip_cfg, classnames, templates, compute_dtype):
+    """Mean-of-normalized-text-features over templates (zsclip.py:105-115)."""
+    encode = jax.jit(
+        functools.partial(encode_text, cfg=clip_cfg, compute_dtype=compute_dtype)
+    )
+    mean = 0.0
+    for temp in templates:
+        prompts = [temp.format(c.replace("_", " ")) for c in classnames]
+        feats = np.array(encode(params, jnp.asarray(tokenize(prompts))), np.float32)
+        feats /= np.linalg.norm(feats, axis=-1, keepdims=True)
+        mean = mean + feats
+    mean = mean / len(templates)
+    return mean / np.linalg.norm(mean, axis=-1, keepdims=True)
+
+
+def _zs_inference(trainable, frozen, aux, images, *, clip_cfg, compute_dtype):
+    del trainable
+    img = encode_image(frozen, images, clip_cfg, compute_dtype=compute_dtype)
+    img = img.astype(jnp.float32)
+    img = img / jnp.linalg.norm(img, axis=-1, keepdims=True)
+    scale = jnp.exp(frozen["logit_scale"])
+    return scale * jnp.dot(img, aux["text_features"].T)
+
+
+@TRAINER_REGISTRY.register()
+class ZeroshotCLIP(TrainerBase):
+    model_name = "zsclip"
+    templates = None  # single dataset template
+
+    def build_model(self):
+        cfg = self.cfg
+        clip_cfg, params = self.load_clip()
+        self.clip_cfg = clip_cfg
+
+        if self.templates is None:
+            templates = [CUSTOM_TEMPLATES[cfg.DATASET.NAME]]
+        else:
+            templates = list(self.templates)
+            if cfg.DATASET.NAME != "ImageNet":
+                templates.append(CUSTOM_TEMPLATES[cfg.DATASET.NAME])
+        text_features = _encode_templates(
+            params, clip_cfg, self.classnames, templates, self.compute_dtype
+        )
+
+        self.place(
+            frozen=params,
+            aux_class_tree={"text_features": text_features},
+            aux_repl=None,
+            trainable=None,
+        )
+        fwd = functools.partial(
+            _zs_inference, clip_cfg=clip_cfg, compute_dtype=self.compute_dtype
+        )
+        self.forward = fwd
+        self.model_inference = fwd
+
+    def train(self):  # zero-shot has nothing to train
+        self.test()
+
+
+@TRAINER_REGISTRY.register()
+class ZeroshotCLIP2(ZeroshotCLIP):
+    """Prompt ensembling (zsclip.py:82-118)."""
+
+    templates = IMAGENET_TEMPLATES_SELECT

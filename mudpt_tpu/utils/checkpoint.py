@@ -1,0 +1,140 @@
+"""Checkpoint IO for prompt pytrees + optimizer state.
+
+Design (SURVEY.md §5 checkpoint/resume): only the *trainable* prompt pytree
+and its optimizer state are persisted — the frozen backbone is
+content-addressed by the CLIP checkpoint it was loaded from, and the
+class-dependent token prefix/suffix buffers are intentionally NOT saved.
+That reproduces the reference's transfer semantics (delete
+``token_prefix``/``token_suffix`` on load, rebuild from the live dataset's
+classnames — reference trainers/mudpt.py:293-303) by construction: at load
+time the receiving trainer has already rebuilt those buffers for its own
+class set, and the checkpoint only restores learned prompt weights.
+
+Format: flat .npz keyed by '/'-joined tree paths + a JSON meta sidecar.
+Filenames mirror Dassl's (``model.pth.tar-<epoch>``, ``model-best.pth.tar``
+consumed at reference mudpt.py:278-283) so sweep scripts keep working.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+
+def _flatten(tree, prefix="") -> Dict[str, np.ndarray]:
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(_flatten(v, f"{prefix}{k}/"))
+    elif isinstance(tree, (list, tuple)):
+        for i, v in enumerate(tree):
+            out.update(_flatten(v, f"{prefix}[{i}]/"))
+    elif tree is None:
+        out[prefix.rstrip("/") + "#none"] = np.zeros(0)
+    else:
+        out[prefix.rstrip("/")] = np.asarray(tree)
+    return out
+
+
+def save_checkpoint(
+    directory: str,
+    name: str,
+    epoch: int,
+    trainable,
+    opt_state=None,
+    is_best: bool = False,
+    meta: Optional[Dict[str, Any]] = None,
+) -> str:
+    """Write ``<directory>/<name>/model.pth.tar-<epoch>`` (.npz content)."""
+    outdir = os.path.join(directory, name)
+    os.makedirs(outdir, exist_ok=True)
+    path = os.path.join(outdir, f"model.pth.tar-{epoch}")
+
+    flat = {f"trainable/{k}": v for k, v in _flatten(trainable).items()}
+    if opt_state is not None:
+        leaves, treedef = jax.tree_util.tree_flatten(opt_state)
+        for i, leaf in enumerate(leaves):
+            flat[f"opt/{i}"] = np.asarray(leaf)
+    with open(path, "wb") as f:
+        np.savez(f, **flat)
+    with open(path + ".json", "w") as f:
+        json.dump({"epoch": epoch, **(meta or {})}, f)
+    if is_best:
+        best = os.path.join(outdir, "model-best.pth.tar")
+        for src, dst in ((path, best), (path + ".json", best + ".json")):
+            with open(src, "rb") as fi, open(dst, "wb") as fo:
+                fo.write(fi.read())
+    return path
+
+
+def _unflatten(flat: Dict[str, np.ndarray]):
+    tree: dict = {}
+    for key, v in flat.items():
+        parts = key.split("/")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        leaf = parts[-1]
+        node[leaf] = None if leaf.endswith("#none") else v
+    return tree
+
+
+def load_checkpoint(
+    directory: str, name: str, epoch: Optional[int] = None
+) -> Tuple[dict, Optional[list], Dict[str, Any]]:
+    """Load trainable tree + raw opt leaves + meta.
+
+    ``epoch=None`` loads ``model-best.pth.tar`` (reference mudpt.py:276-283).
+    """
+    fname = "model-best.pth.tar" if epoch is None else f"model.pth.tar-{epoch}"
+    path = os.path.join(directory, name, fname)
+    if not os.path.exists(path):
+        raise FileNotFoundError(f'Model not found at "{path}"')
+    data = dict(np.load(path, allow_pickle=False))
+    trainable = _unflatten(
+        {k[len("trainable/"):]: v for k, v in data.items() if k.startswith("trainable/")}
+    )
+    opt_leaves = [
+        v for _, v in sorted(
+            ((int(k.split("/")[1]), v) for k, v in data.items() if k.startswith("opt/")),
+        )
+    ]
+    meta = {}
+    if os.path.exists(path + ".json"):
+        with open(path + ".json") as f:
+            meta = json.load(f)
+    return trainable, (opt_leaves or None), meta
+
+
+def restore_into(template, loaded: dict, *, strict: bool = False):
+    """Graft loaded arrays onto a template pytree (strict=False mirrors the
+    reference's ``load_state_dict(strict=False)``): keys present in both are
+    taken from the checkpoint; template-only keys are kept (e.g. rebuilt
+    class buffers); checkpoint-only keys are ignored."""
+    if isinstance(template, dict):
+        out = {}
+        for k, v in template.items():
+            if isinstance(loaded, dict) and k in loaded:
+                out[k] = restore_into(v, loaded[k], strict=strict)
+            else:
+                if strict:
+                    raise KeyError(f"Missing checkpoint key {k!r}")
+                out[k] = v
+        return out
+    if loaded is None or template is None:
+        return template
+    arr = np.asarray(loaded)
+    if tuple(arr.shape) != tuple(np.shape(template)):
+        if strict:
+            raise ValueError(
+                f"Shape mismatch: checkpoint {arr.shape} vs template "
+                f"{np.shape(template)}"
+            )
+        return template
+    import jax.numpy as jnp
+
+    return jnp.asarray(arr, dtype=template.dtype if hasattr(template, "dtype") else None)
