@@ -1,0 +1,105 @@
+"""CoCoOp: instance-conditional prompts via a meta-network.
+
+Reference trainers/cocoop.py: a two-layer meta-net maps each (normalized)
+image feature to a bias added to the shared context (cocoop.py:99-103,
+148-163); each image then gets its own n_cls text encodes.  The reference
+loops over the batch in Python (cocoop.py:187-193) — here the per-instance
+text encode is a single ``jax.vmap`` over the batch, which XLA batches into
+one big MXU matmul stream instead of B sequential launches.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from mudpt_tpu.models.clip import encode_image
+from mudpt_tpu.models.text import text_forward
+from mudpt_tpu.trainers.base import TrainerBase
+from mudpt_tpu.trainers.prompt_utils import (
+    compose_prompts,
+    ctx_vectors_from_init,
+    embed_classnames,
+    init_linear,
+    linear,
+    random_ctx,
+)
+from mudpt_tpu.utils.registry import TRAINER_REGISTRY
+from mudpt_tpu.utils.rng import new_rng
+
+
+def cocoop_forward(trainable, frozen, aux, images, *, clip_cfg, compute_dtype):
+    img = encode_image(frozen, images, clip_cfg, compute_dtype=compute_dtype)
+    img = img.astype(jnp.float32)
+    img = img / jnp.linalg.norm(img, axis=-1, keepdims=True)  # (B, D)
+
+    # meta-net bias (cocoop.py:99-103,148-155): Linear -> ReLU -> Linear
+    h = jax.nn.relu(linear(trainable["meta_net"]["linear1"], img))
+    bias = linear(trainable["meta_net"]["linear2"], h)          # (B, ctx_dim)
+    ctx_shifted = trainable["ctx"][None] + bias[:, None]        # (B, n_ctx, D)
+
+    scale = jnp.exp(frozen["logit_scale"])
+
+    def per_instance(ctx_i, imf_i):
+        prompts = compose_prompts(
+            ctx_i, aux["token_prefix"], aux["token_suffix"], aux.get("index_map")
+        )
+        txt = text_forward(
+            frozen["text"],
+            prompts.astype(compute_dtype),
+            aux["eot_idx"],
+            n_head=clip_cfg.transformer_heads,
+        ).astype(jnp.float32)
+        txt = txt / jnp.linalg.norm(txt, axis=-1, keepdims=True)
+        return scale * txt @ imf_i  # (n_cls,)
+
+    return jax.vmap(per_instance)(ctx_shifted, img)  # (B, n_cls)
+
+
+@TRAINER_REGISTRY.register()
+class CoCoOp(TrainerBase):
+    model_name = "prompt_learner"  # reference cocoop.py:241
+    hparams_key = "COCOOP"
+
+    def build_model(self):
+        cfg = self.cfg
+        hp = getattr(cfg.TRAINER, self.hparams_key)
+        clip_cfg, params = self.load_clip()
+        self.clip_cfg = clip_cfg
+        dim = clip_cfg.transformer_width
+        vis_dim = clip_cfg.embed_dim
+        n_ctx = hp.N_CTX
+        key = new_rng(cfg.SEED)
+        ks = jax.random.split(key, 3)
+
+        if hp.CTX_INIT:
+            ctx_init = hp.CTX_INIT.replace("_", " ")
+            n_ctx = len(ctx_init.split(" "))
+            ctx = ctx_vectors_from_init(params["text"], ctx_init, n_ctx)
+            prompt_prefix = ctx_init
+        else:
+            ctx = random_ctx(ks[0], (n_ctx, dim))
+            prompt_prefix = " ".join(["X"] * n_ctx)
+        print(f'Initial context: "{prompt_prefix}" (n_ctx={n_ctx})')
+
+        trainable = {
+            "ctx": ctx,
+            "meta_net": {
+                "linear1": init_linear(ks[1], vis_dim, vis_dim // 16),
+                "linear2": init_linear(ks[2], vis_dim // 16, dim),
+            },
+        }
+        aux_cls = embed_classnames(
+            params["text"], self.classnames, n_ctx, prompt_prefix
+        )
+        self.place(
+            frozen=params,
+            aux_class_tree=aux_cls.as_device_tree(),
+            aux_repl=None,
+            trainable=trainable,
+        )
+        self.forward = functools.partial(
+            cocoop_forward, clip_cfg=clip_cfg, compute_dtype=self.compute_dtype
+        )
