@@ -1,0 +1,106 @@
+#!/usr/bin/env python
+"""Frozen CLIP visual-feature extractor (reference lpclip/feat_extractor.py).
+
+Runs the jitted visual tower over a split with the test transform and saves
+``<output_dir>/<DatasetName>/<split>.npz`` holding ``feature_list`` /
+``label_list`` (same file contract as the reference, :130-137), consumed by
+linear_probe.py.
+
+Usage:
+  python lpclip/feat_extractor.py --root DATA --output_dir clip_feat \
+      --dataset_config_file configs/datasets/caltech101.yaml \
+      --split train [--backbone_name ViT-B/16 | --backbone_path x.pt]
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import os
+
+import numpy as np
+
+
+def main(args) -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from mudpt_tpu.config import default_config, merge_from_file, merge_from_list
+    from mudpt_tpu.data.loader import DataLoader
+    from mudpt_tpu.data.transforms import build_transform
+    from mudpt_tpu.models.clip import encode_image
+    from mudpt_tpu.trainers.base import load_backbone
+    from mudpt_tpu.utils.registry import DATASET_REGISTRY
+    from mudpt_tpu.utils.rng import set_seed
+    import mudpt_tpu.data.datasets  # noqa: F401  (registration)
+
+    cfg = default_config()
+    if args.dataset_config_file:
+        merge_from_file(cfg, args.dataset_config_file)
+    if args.config_file:
+        merge_from_file(cfg, args.config_file)
+    if args.root:
+        cfg.DATASET.ROOT = args.root
+    cfg.SEED = args.seed
+    cfg.DATASET.NUM_SHOTS = -1  # full splits: sampling happens in the probe
+    if args.backbone_name:
+        cfg.MODEL.BACKBONE.NAME = args.backbone_name
+    if args.backbone_path:
+        cfg.MODEL.BACKBONE.PATH = args.backbone_path
+    merge_from_list(cfg, args.opts)
+    set_seed(cfg.SEED)
+
+    print(f"Setup dataset: {cfg.DATASET.NAME}")
+    dataset = DATASET_REGISTRY.get(cfg.DATASET.NAME).build(cfg)
+    split_items = {
+        "train": dataset.train_x,
+        "val": dataset.val,
+        "test": dataset.test,
+    }[args.split]
+
+    print(f"Load CLIP backbone: {cfg.MODEL.BACKBONE.NAME}")
+    clip_cfg, params = load_backbone(cfg)
+
+    encode = jax.jit(functools.partial(encode_image, cfg=clip_cfg))
+
+    loader = DataLoader(
+        split_items,
+        build_transform(cfg, is_train=False),
+        cfg.DATALOADER.TRAIN_X.BATCH_SIZE,
+        num_workers=cfg.DATALOADER.NUM_WORKERS,
+    )
+    features, labels = [], []
+    for batch in loader:
+        feats = np.asarray(encode(params, jnp.asarray(batch["image"])))
+        mask = batch["valid"]
+        features.append(feats[mask])
+        labels.append(batch["label"][mask])
+
+    save_dir = os.path.join(args.output_dir, cfg.DATASET.NAME)
+    os.makedirs(save_dir, exist_ok=True)
+    out = os.path.join(save_dir, args.split)
+    np.savez(
+        out,
+        feature_list=np.concatenate(features),
+        label_list=np.concatenate(labels),
+    )
+    print(f"Saved {sum(len(x) for x in labels)} features to {out}.npz")
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--root", type=str, default="")
+    parser.add_argument("--output_dir", type=str, default="clip_feat")
+    parser.add_argument("--config_file", type=str, default="")
+    parser.add_argument("--dataset_config_file", type=str, default="")
+    parser.add_argument("--split", type=str, required=True,
+                        choices=["train", "val", "test"])
+    parser.add_argument("--backbone_name", type=str, default="")
+    parser.add_argument("--backbone_path", type=str, default="")
+    parser.add_argument("--seed", type=int, default=1)
+    parser.add_argument("opts", default=[], nargs=argparse.REMAINDER)
+    return parser.parse_args(argv)
+
+
+if __name__ == "__main__":
+    main(parse_args())

@@ -102,10 +102,10 @@ class TrainerBase:
 
     model_name = "prompt_learner"
 
-    def __init__(self, cfg, dataset=None):
+    def __init__(self, cfg, dataset=None, devices=None):
         self.cfg = cfg
         set_seed(cfg.SEED)
-        self.mesh = build_mesh(cfg)
+        self.mesh = build_mesh(cfg, devices)
         self.dm = DataManager(cfg, dataset)
         self.num_classes = self.dm.num_classes
         self.classnames = self.dm.classnames

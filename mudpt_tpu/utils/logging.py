@@ -33,6 +33,11 @@ class _Tee:
     def isatty(self):
         return False
 
+    def close(self):
+        # keep the underlying stream open (it's the process stdout); only
+        # flush the tee file
+        self._fh.flush()
+
     def fileno(self):
         return self._stream.fileno()
 

@@ -1,0 +1,69 @@
+"""CLI surface tests: the reference train.py argument surface, config
+cascade, eval_only path, and the log parser."""
+
+import json
+import os
+import subprocess
+import sys
+
+import train as train_cli
+
+
+def _argv(tmp_path, trainer="MuDPT", extra=()):
+    return [
+        "--trainer", trainer,
+        "--dataset_config", "configs/datasets/synthetic.yaml",
+        "--output_dir", str(tmp_path / "out"),
+        "--seed", "1",
+        "--backbone", "test-tiny",
+        "--backbone_path", "random",
+        *extra,
+        "OPTIM.MAX_EPOCH", "1",
+        "INPUT.SIZE", "(32, 32)",
+        "DATALOADER.TRAIN_X.BATCH_SIZE", "8",
+        "DATALOADER.TEST.BATCH_SIZE", "8",
+        "TRAINER.MUDPT.PREC", "fp32",
+        "TRAIN.PRINT_FREQ", "100",
+    ]
+
+
+def test_cli_train_and_eval_only(tmp_path, capsys):
+    args = train_cli.parse_args(_argv(tmp_path))
+    train_cli.main(args)
+    out_dir = tmp_path / "out"
+    assert (out_dir / "log.txt").exists()
+    assert (out_dir / "metrics.jsonl").exists()
+    assert (out_dir / "MultimodalDeepPromptTuning" / "model.pth.tar-1").exists()
+
+    # eval_only reload path (reference train.py:167-169)
+    args = train_cli.parse_args(
+        _argv(tmp_path, extra=["--eval_only", "--model_dir", str(out_dir),
+                               "--load_epoch", "1"])
+    )
+    train_cli.main(args)
+
+
+def test_cli_config_cascade(tmp_path):
+    args = train_cli.parse_args(
+        _argv(tmp_path) + ["OPTIM.LR", "0.123"]
+    )
+    cfg = train_cli.setup_config(args)
+    assert cfg.OPTIM.LR == 0.123
+    assert cfg.DATASET.NAME == "Synthetic"
+    assert cfg.TRAINER.NAME == "MuDPT"
+
+
+def test_parse_test_res(tmp_path):
+    for seed in (1, 2):
+        d = tmp_path / "runs" / f"seed_{seed}"
+        os.makedirs(d)
+        with open(d / "metrics.jsonl", "w") as f:
+            f.write(json.dumps({"kind": "eval", "split": "test",
+                                "accuracy": 80.0 + seed, "macro_f1": 70.0}) + "\n")
+    res = subprocess.run(
+        [sys.executable, "tools/parse_test_res.py", str(tmp_path / "runs")],
+        capture_output=True, text=True,
+    )
+    assert res.returncode == 0, res.stderr
+    assert "accuracy: 81.50 +/- 0.71" in res.stdout
+    assert "macro_f1: 70.00" in res.stdout
