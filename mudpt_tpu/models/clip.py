@@ -26,6 +26,7 @@ SURVEY.md §7 hard parts).
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 from typing import Optional
 
@@ -46,9 +47,15 @@ class CLIPConfig:
     transformer_width: int = 512
     transformer_heads: int = 8
     transformer_layers: int = 12
+    # RN-family checkpoints: "resnet" with per-stage block counts
+    # (architecture inference rules of reference clip/model.py:892-898)
+    vision_arch: str = "vit"
+    vision_layers_per_stage: tuple = ()
 
     @property
     def vision_heads(self) -> int:
+        if self.vision_arch == "resnet":
+            return self.vision_width * 32 // 64
         return self.vision_width // 64
 
     @property
@@ -94,7 +101,14 @@ def _init_block_stack(key, layers: int, width: int) -> dict:
     }
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
 def init_clip_params(key: jax.Array, cfg: CLIPConfig = VIT_B16) -> dict:
+    """Random init (jitted into ONE device program: per-op dispatch over a
+    remote device link would otherwise dominate startup)."""
+    return _init_clip_params(key, cfg)
+
+
+def _init_clip_params(key: jax.Array, cfg: CLIPConfig = VIT_B16) -> dict:
     kv, kt, k1, k2, k3, k4, k5 = jax.random.split(key, 7)
     vw, tw = cfg.vision_width, cfg.transformer_width
     vscale = vw ** -0.5
@@ -165,6 +179,20 @@ def encode_image(
     layer0_prompt: Optional[jax.Array] = None,
     deep_prompts: Optional[jax.Array] = None,
 ):
+    if cfg.vision_arch == "resnet":
+        from mudpt_tpu.models.resnet import resnet_forward
+
+        assert layer0_prompt is None and deep_prompts is None, (
+            "prompt injection is defined for the ViT towers only (as in the "
+            "reference, whose prompt block variants are transformer-only)"
+        )
+        return resnet_forward(
+            params["visual"],
+            images,
+            layers=cfg.vision_layers_per_stage,
+            heads=cfg.vision_heads,
+            compute_dtype=compute_dtype,
+        )
     from mudpt_tpu.models.vit import vit_forward
 
     return vit_forward(

@@ -34,10 +34,30 @@ def _to_numpy(t) -> np.ndarray:
 
 
 def infer_config(sd: Dict[str, np.ndarray]) -> CLIPConfig:
-    if "visual.proj" not in sd:
-        raise NotImplementedError(
-            "ResNet CLIP checkpoints are handled by models.resnet; "
-            "ViT checkpoints must contain visual.proj"
+    if "visual.proj" not in sd:  # RN family (reference clip/model.py:892-898)
+        counts = tuple(
+            len({k.split(".")[2] for k in sd if k.startswith(f"visual.layer{b}.")})
+            for b in (1, 2, 3, 4)
+        )
+        vision_width = sd["visual.layer1.0.conv1.weight"].shape[0]
+        output_width = round(
+            (sd["visual.attnpool.positional_embedding"].shape[0] - 1) ** 0.5
+        )
+        return CLIPConfig(
+            embed_dim=sd["text_projection"].shape[1],
+            image_resolution=output_width * 32,
+            vision_layers=sum(counts),
+            vision_width=vision_width,
+            vision_patch_size=0,
+            context_length=sd["positional_embedding"].shape[0],
+            vocab_size=sd["token_embedding.weight"].shape[0],
+            transformer_width=sd["ln_final.weight"].shape[0],
+            transformer_heads=sd["ln_final.weight"].shape[0] // 64,
+            transformer_layers=len(
+                {k.split(".")[2] for k in sd if k.startswith("transformer.resblocks")}
+            ),
+            vision_arch="resnet",
+            vision_layers_per_stage=counts,
         )
     conv1 = sd["visual.conv1.weight"]
     vision_width = conv1.shape[0]
@@ -99,12 +119,14 @@ def torch_state_dict_to_jax(state_dict) -> Tuple[CLIPConfig, dict]:
           if k not in ("input_resolution", "context_length", "vocab_size")}
     cfg = infer_config(sd)
 
-    conv1 = sd["visual.conv1.weight"]  # (width, 3, P, P)
-    patch_w = conv1.transpose(2, 3, 1, 0).reshape(-1, cfg.vision_width)
+    if cfg.vision_arch == "resnet":
+        from mudpt_tpu.models.resnet import convert_resnet_visual
 
-    params = {
-        "visual": {
-            "patch_w": patch_w,
+        visual, _ = convert_resnet_visual(sd)
+    else:
+        conv1 = sd["visual.conv1.weight"]  # (width, 3, P, P)
+        visual = {
+            "patch_w": conv1.transpose(2, 3, 1, 0).reshape(-1, cfg.vision_width),
             "class_embedding": sd["visual.class_embedding"],
             "pos_embedding": sd["visual.positional_embedding"],
             "ln_pre": {
@@ -119,7 +141,10 @@ def torch_state_dict_to_jax(state_dict) -> Tuple[CLIPConfig, dict]:
                 "bias": sd["visual.ln_post.bias"],
             },
             "proj": sd["visual.proj"],
-        },
+        }
+
+    params = {
+        "visual": visual,
         "text": {
             "token_embedding": sd["token_embedding.weight"],
             "pos_embedding": sd["positional_embedding"],
@@ -194,18 +219,26 @@ def _unflatten(flat):
 
 
 def save_npz_params(path: str, cfg: CLIPConfig, params: dict) -> None:
+    import dataclasses
+    import json
+
     flat = _flatten(params)
-    meta = {f"__cfg__{k}": np.asarray(v) for k, v in cfg.__dict__.items()}
+    meta = {"__cfg__": np.frombuffer(
+        json.dumps(dataclasses.asdict(cfg)).encode(), dtype=np.uint8
+    )}
     np.savez(path, **flat, **meta)
 
 
 def load_npz_params(path: str) -> Tuple[CLIPConfig, dict]:
+    import json
+
     import jax.numpy as jnp
 
     data = dict(np.load(path))
-    cfg_kwargs = {
-        k[len("__cfg__"):]: int(v) for k, v in data.items() if k.startswith("__cfg__")
-    }
-    flat = {k: v for k, v in data.items() if not k.startswith("__cfg__")}
+    cfg_kwargs = json.loads(bytes(data.pop("__cfg__")).decode())
+    cfg_kwargs["vision_layers_per_stage"] = tuple(
+        cfg_kwargs.get("vision_layers_per_stage", ())
+    )
+    flat = {k: v for k, v in data.items()}
     params = _tree_map_np(lambda a: jnp.asarray(a), _unflatten(flat))
     return CLIPConfig(**cfg_kwargs), params

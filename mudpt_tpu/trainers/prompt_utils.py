@@ -57,18 +57,24 @@ def embed_classnames(
     n_ctx: int,
     prompt_prefix: str,
 ) -> ClassPromptAux:
-    """Tokenize + embed "<prefix> <name>." per class (coop.py:81-95)."""
+    """Tokenize + embed "<prefix> <name>." per class (coop.py:81-95).
+
+    The embedding gather runs ON DEVICE (host->device traffic is just the
+    (n_cls, 77) int token table; the 25M-row token embedding never crosses
+    the interconnect — critical when the host link is slow)."""
     tok = get_tokenizer()
     names = [name.replace("_", " ") for name in classnames]
     name_lens = [len(tok.encode(name)) for name in names]
     prompts = [f"{prompt_prefix} {name}." for name in names]
     tokenized = tokenize(prompts)
-    embedding = np.asarray(text_params["token_embedding"])[tokenized]
+    embedding = jnp.take(
+        text_params["token_embedding"], jnp.asarray(tokenized), axis=0
+    ).astype(jnp.float32)
     return ClassPromptAux(
         tokenized=tokenized,
         eot_idx=tokenized.argmax(axis=-1).astype(np.int32),
-        token_prefix=jnp.asarray(embedding[:, :1]),
-        token_suffix=jnp.asarray(embedding[:, 1 + n_ctx :]),
+        token_prefix=embedding[:, :1],
+        token_suffix=embedding[:, 1 + n_ctx :],
         name_lens=name_lens,
         n_ctx=n_ctx,
         prompt_prefix=prompt_prefix,
@@ -82,8 +88,10 @@ def ctx_vectors_from_init(
     (reference mudpt.py:59-66): embedding positions 1..1+n_ctx."""
     ctx_init = ctx_init.replace("_", " ")
     tokens = tokenize(ctx_init)
-    emb = np.asarray(text_params["token_embedding"])[tokens[0]]
-    return jnp.asarray(emb[1 : 1 + n_ctx])
+    emb = jnp.take(
+        text_params["token_embedding"], jnp.asarray(tokens[0]), axis=0
+    )
+    return emb[1 : 1 + n_ctx].astype(jnp.float32)
 
 
 def random_ctx(key, shape, std: float = 0.02) -> jnp.ndarray:
