@@ -101,15 +101,19 @@ def main() -> None:
         trainable, opt_state, loss = train_step(
             trainable, opt_state, params, aux, images, labels
         )
-    jax.block_until_ready(loss)
+    float(loss)  # host fetch: the only reliable barrier on tunneled devices
 
     t0 = time.perf_counter()
     for _ in range(args.steps):
         trainable, opt_state, loss = train_step(
             trainable, opt_state, params, aux, images, labels
         )
-    jax.block_until_ready(loss)
+    # fetch the final loss: the donated-buffer chain forces every queued
+    # step to execute before this value exists (block_until_ready alone
+    # returns early on remote-relay platforms)
+    final_loss = float(loss)
     dt = time.perf_counter() - t0
+    assert final_loss == final_loss, "NaN loss in benchmark"
 
     ips = args.batch * args.steps / dt
     print(

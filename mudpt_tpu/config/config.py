@@ -69,6 +69,7 @@ class DataLoaderCfg:
     TRAIN_X: LoaderSplitCfg = field(default_factory=lambda: LoaderSplitCfg(BATCH_SIZE=32))
     TEST: LoaderSplitCfg = field(default_factory=lambda: LoaderSplitCfg(BATCH_SIZE=100, SAMPLER="sequential"))
     NUM_WORKERS: int = 8
+    PIPELINE: str = "threads"  # threads (PIL) | tfdata (tf.data graph)
 
 
 @_node
@@ -99,6 +100,7 @@ class OptimCfg:
 class TrainCfg:
     PRINT_FREQ: int = 5
     CHECKPOINT_FREQ: int = 0  # 0 => only final epoch
+    PROFILE_DIR: str = ""     # XProf trace dir; traces epoch-0 steps when set
 
 
 @_node

@@ -26,6 +26,27 @@ class DataManager:
             dataset = dataset_cls.build(cfg)
         self.dataset = dataset
 
+        if cfg.DATALOADER.PIPELINE == "tfdata":
+            from mudpt_tpu.data.tfdata import TFDataLoader
+
+            size = cfg.INPUT.SIZE[0]
+            mk = lambda items, bs, train: TFDataLoader(
+                items, bs, size=size, is_train=train, shuffle=train,
+                drop_last=train, seed=cfg.SEED,
+                mean=cfg.INPUT.PIXEL_MEAN, std=cfg.INPUT.PIXEL_STD,
+            )
+            self.train_loader = mk(
+                dataset.train_x, cfg.DATALOADER.TRAIN_X.BATCH_SIZE, True
+            )
+            self.val_loader = (
+                mk(dataset.val, cfg.DATALOADER.TEST.BATCH_SIZE, False)
+                if dataset.val else None
+            )
+            self.test_loader = mk(
+                dataset.test, cfg.DATALOADER.TEST.BATCH_SIZE, False
+            )
+            return
+
         train_tf = build_transform(cfg, is_train=True)
         test_tf = build_transform(cfg, is_train=False)
 

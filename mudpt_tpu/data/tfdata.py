@@ -1,0 +1,120 @@
+"""Optional tf.data input pipeline (production path).
+
+The default loader (data/loader.py) is PIL + threads — fine for few-shot
+workloads (dozens-to-thousands of images).  For full-dataset training
+(ImageNet linear-probe extraction, zero-shot sweeps) this module builds the
+same preprocessing as a tf.data graph: parallel JPEG decode, bicubic resize,
+center/random-resized crop, flip, CLIP normalization, prefetch.  TensorFlow
+is imported lazily — nothing here loads unless requested via
+``DATALOADER.PIPELINE: tfdata``.
+
+Output batches use the same dict contract as DataLoader
+({image f32 NHWC, label i32, valid bool}) so trainers are agnostic.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import numpy as np
+
+from mudpt_tpu.data.datum import Datum
+from mudpt_tpu.data.transforms import CLIP_MEAN, CLIP_STD
+
+
+class TFDataLoader:
+    def __init__(
+        self,
+        items: List[Datum],
+        batch_size: int,
+        *,
+        size: int = 224,
+        is_train: bool = False,
+        shuffle: bool = False,
+        drop_last: bool = False,
+        seed: int = 0,
+        mean=CLIP_MEAN,
+        std=CLIP_STD,
+    ):
+        import tensorflow as tf
+
+        tf.config.set_visible_devices([], "GPU")
+        tf.config.set_visible_devices([], "TPU")
+        self._tf = tf
+        self.batch_size = batch_size
+        self.items = items
+        paths = [it.impath for it in items]
+        labels = [it.label for it in items]
+        n = len(items)
+
+        mean_t = tf.constant(mean, tf.float32)
+        std_t = tf.constant(std, tf.float32)
+
+        def decode_eval(path, label):
+            raw = tf.io.read_file(path)
+            img = tf.io.decode_image(raw, channels=3, expand_animations=False)
+            shape = tf.shape(img)
+            short = tf.minimum(shape[0], shape[1])
+            scale = tf.cast(size, tf.float32) / tf.cast(short, tf.float32)
+            nh = tf.cast(tf.round(tf.cast(shape[0], tf.float32) * scale), tf.int32)
+            nw = tf.cast(tf.round(tf.cast(shape[1], tf.float32) * scale), tf.int32)
+            img = tf.image.resize(img, (nh, nw), method="bicubic")
+            top = (nh - size) // 2
+            left = (nw - size) // 2
+            img = img[top : top + size, left : left + size]
+            img = img / 255.0
+            img = (img - mean_t) / std_t
+            return tf.reshape(img, (size, size, 3)), label
+
+        def decode_train(path, label):
+            raw = tf.io.read_file(path)
+            img = tf.io.decode_image(raw, channels=3, expand_animations=False)
+            shape = tf.shape(img)
+            # random resized crop, scale 0.08-1.0, ratio 3/4-4/3
+            bbox = tf.image.sample_distorted_bounding_box(
+                shape,
+                bounding_boxes=tf.zeros((1, 0, 4)),
+                area_range=(0.08, 1.0),
+                aspect_ratio_range=(0.75, 1.3333),
+                use_image_if_no_bounding_boxes=True,
+            )
+            begin, sz, _ = bbox
+            img = tf.slice(img, begin, sz)
+            img = tf.image.resize(img, (size, size), method="bicubic")
+            img = tf.image.random_flip_left_right(img)
+            img = img / 255.0
+            img = (img - mean_t) / std_t
+            return tf.reshape(img, (size, size, 3)), label
+
+        ds = tf.data.Dataset.from_tensor_slices(
+            (tf.constant(paths), tf.constant(labels, tf.int32))
+        )
+        if shuffle:
+            ds = ds.shuffle(min(n, 50_000), seed=seed, reshuffle_each_iteration=True)
+        ds = ds.map(
+            decode_train if is_train else decode_eval,
+            num_parallel_calls=tf.data.AUTOTUNE,
+        )
+        ds = ds.batch(batch_size, drop_remainder=drop_last)
+        ds = ds.prefetch(tf.data.AUTOTUNE)
+        self._ds = ds
+        self._drop_last = drop_last
+
+    def __len__(self) -> int:
+        n = len(self.items)
+        if self._drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self):
+        for images, labels in self._ds.as_numpy_iterator():
+            n = len(labels)
+            pad = self.batch_size - n
+            if pad:
+                images = np.pad(images, [(0, pad), (0, 0), (0, 0), (0, 0)])
+                labels = np.pad(labels, (0, pad))
+            yield {
+                "image": images.astype(np.float32),
+                "label": labels.astype(np.int32),
+                "valid": np.arange(self.batch_size) < n,
+            }

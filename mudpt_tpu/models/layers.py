@@ -16,6 +16,7 @@ MXU without transposes.
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
@@ -40,16 +41,29 @@ def linear(p, x: jax.Array) -> jax.Array:
     return jnp.dot(x, p["w"].astype(x.dtype)) + p["b"].astype(x.dtype)
 
 
+_ATTENTION_IMPL = os.environ.get("MUDPT_TPU_ATTENTION", "xla")
+
+
+def set_attention_impl(name: str) -> None:
+    """'xla' (einsum softmax, default) or 'pallas' (fused VMEM kernel)."""
+    global _ATTENTION_IMPL
+    assert name in ("xla", "pallas"), name
+    _ATTENTION_IMPL = name
+
+
 def attention(
     p,
     x: jax.Array,
     n_head: int,
     mask: Optional[jax.Array] = None,
+    causal: bool = False,
 ) -> jax.Array:
     """Multi-head self-attention, batch-first: x (B, S, D) -> (B, S, D).
 
     ``mask`` is an additive (S, S) float array (the text tower's causal mask,
-    reference clip/model.py:810-816) or None for full attention.
+    reference clip/model.py:810-816) or None for full attention; ``causal``
+    marks the mask as the standard causal one so the Pallas kernel can build
+    it internally.
     """
     B, S, D = x.shape
     head_dim = D // n_head
@@ -60,14 +74,19 @@ def attention(
     k = k.transpose(0, 2, 1, 3)
     v = v.transpose(0, 2, 1, 3)
 
-    scale = head_dim ** -0.5
-    scores = jnp.einsum(
-        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
-    ) * scale
-    if mask is not None:
-        scores = scores + mask.astype(jnp.float32)
-    probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
-    out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+    if _ATTENTION_IMPL == "pallas" and (mask is None or causal):
+        from mudpt_tpu.ops.flash_attention import fused_attention
+
+        out = fused_attention(q, k, v, causal)
+    else:
+        scale = head_dim ** -0.5
+        scores = jnp.einsum(
+            "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+        ) * scale
+        if mask is not None:
+            scores = scores + mask.astype(jnp.float32)
+        probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+        out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
     out = out.transpose(0, 2, 1, 3).reshape(B, S, D)
     return jnp.dot(out, p["out_w"].astype(x.dtype)) + p["out_b"].astype(x.dtype)
 
@@ -78,8 +97,8 @@ def mlp(p, x: jax.Array) -> jax.Array:
     return jnp.dot(h, p["proj_w"].astype(x.dtype)) + p["proj_b"].astype(x.dtype)
 
 
-def residual_block(p, x: jax.Array, n_head: int, mask=None) -> jax.Array:
+def residual_block(p, x: jax.Array, n_head: int, mask=None, causal=False) -> jax.Array:
     """One pre-LN residual block (reference clip/model.py:177-198)."""
-    x = x + attention(p["attn"], layer_norm(p["ln_1"], x), n_head, mask)
+    x = x + attention(p["attn"], layer_norm(p["ln_1"], x), n_head, mask, causal)
     x = x + mlp(p["mlp"], layer_norm(p["ln_2"], x))
     return x

@@ -52,7 +52,8 @@ def text_forward(
     positions of the corresponding token rows.
     """
     x = prompt_embeddings + p["pos_embedding"].astype(prompt_embeddings.dtype)[None]
-    if mask is None:
+    causal = mask is None  # the default mask is the standard causal one
+    if causal:
         mask = causal_mask(x.shape[1])
 
     n_ctx = deep_prompts.shape[-2] if deep_prompts is not None else 0
@@ -67,6 +68,7 @@ def text_forward(
         prompt_mask=pmask,
         n_ctx=n_ctx,
         is_text=True,
+        causal=causal,
     )
     x = layer_norm(p["ln_final"], x)
     pooled = jnp.take_along_axis(x, eot_idx[:, None, None], axis=1)[:, 0]

@@ -89,28 +89,39 @@ def transformer_forward(
     prompt_mask: Optional[jax.Array] = None,
     n_ctx: int = 0,
     is_text: bool = False,
+    causal: bool = False,
+    remat: bool = True,
 ) -> jax.Array:
     """Run the full tower.  x: (B, S, D) -> (B, S, D).
 
     ``stacked_params``: block param pytree with leading layer axis.
     ``prompts``/``prompt_mask``: from :func:`make_injection_schedule`.
+
+    ``remat``: rematerialize each block in the backward pass instead of
+    saving its activations (the fp32 attention scores alone are
+    B*H*S^2*4 bytes per layer; on a 16 GB chip remat is what makes large
+    batches fit — HBM capacity traded for ~1/3 extra forward FLOPs).
     """
     if prompts is None:
         def body(h, layer_params):
-            h = residual_block(layer_params, h, n_head, mask)
+            h = residual_block(layer_params, h, n_head, mask, causal)
+            return h, None
+    else:
+        splice = splice_text if is_text else splice_visual
+
+        def body(h, scanned):
+            layer_params, prompt, use = scanned
+            spliced = splice(h, prompt, n_ctx)
+            h = jnp.where(use, spliced, h)
+            h = residual_block(layer_params, h, n_head, mask, causal)
             return h, None
 
-        x, _ = jax.lax.scan(body, x, stacked_params)
-        return x
-
-    splice = splice_text if is_text else splice_visual
-
-    def body(h, scanned):
-        layer_params, prompt, use = scanned
-        spliced = splice(h, prompt, n_ctx)
-        h = jnp.where(use, spliced, h)
-        h = residual_block(layer_params, h, n_head, mask)
-        return h, None
-
-    x, _ = jax.lax.scan(body, x, (stacked_params, prompts, prompt_mask))
+    if remat:
+        body = jax.checkpoint(body, policy=None)
+    xs = (
+        stacked_params
+        if prompts is None
+        else (stacked_params, prompts, prompt_mask)
+    )
+    x, _ = jax.lax.scan(body, x, xs)
     return x

@@ -1,0 +1,56 @@
+"""Multi-host (pod) support.
+
+Single-controller JAX: every host runs the same program;
+``jax.distributed.initialize()`` wires the DCN coordination plane, the mesh
+spans all pods' chips, and each host feeds its shard of the global batch via
+``jax.make_array_from_process_local_data`` (SURVEY.md §2.2 TPU-native
+equivalent of a distributed backend — there are no hand-written collectives
+anywhere; XLA emits them from shardings).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import numpy as np
+
+
+def maybe_initialize_distributed() -> bool:
+    """Initialize the JAX distributed runtime when launched as one process
+    of a multi-host job (env-driven: COORDINATOR_ADDRESS / NUM_PROCESSES /
+    PROCESS_ID, or any standard TPU pod environment jax auto-detects).
+    Returns True if a multi-process runtime is active."""
+    if jax.process_count() > 1:
+        return True
+    coord = os.environ.get("COORDINATOR_ADDRESS")
+    if coord:
+        jax.distributed.initialize(
+            coordinator_address=coord,
+            num_processes=int(os.environ["NUM_PROCESSES"]),
+            process_id=int(os.environ["PROCESS_ID"]),
+        )
+        return jax.process_count() > 1
+    if os.environ.get("TPU_WORKER_HOSTNAMES") and os.environ.get("MEGASCALE"):
+        jax.distributed.initialize()
+        return jax.process_count() > 1
+    return False
+
+
+def host_local_batch_to_global(mesh_ctx, batch: dict) -> dict:
+    """Assemble a global device array from each host's local batch shard."""
+    out = {}
+    for k, v in batch.items():
+        out[k] = jax.make_array_from_process_local_data(
+            mesh_ctx.batch_sharding, np.asarray(v)
+        )
+    return out
+
+
+def process_index() -> int:
+    return jax.process_index()
+
+
+def is_primary() -> bool:
+    return jax.process_index() == 0

@@ -40,6 +40,7 @@ from mudpt_tpu.trainers.optim import build_optimizer
 from mudpt_tpu.utils.checkpoint import load_checkpoint, restore_into, save_checkpoint
 from mudpt_tpu.utils.logging import MetricsLogger
 from mudpt_tpu.utils.metrics import build_evaluator
+from mudpt_tpu.utils.profiling import StepTimer, profile_trace
 from mudpt_tpu.utils.registry import TRAINER_REGISTRY
 from mudpt_tpu.utils.rng import new_rng, set_seed
 
@@ -203,21 +204,54 @@ class TrainerBase:
         cfg = self.cfg
         max_epoch = cfg.OPTIM.MAX_EPOCH
         num_batches = len(self.dm.train_loader)
+        start_epoch = self.resume_if_requested()
         print(f"Start training: {max_epoch} epochs x {num_batches} batches")
-        for self.epoch in range(max_epoch):
+        for self.epoch in range(start_epoch, max_epoch):
             self.run_epoch()
             self.after_epoch()
         self.after_train()
+
+    def resume_if_requested(self) -> int:
+        """cfg.RESUME: reload the newest checkpoint under that directory and
+        continue from its epoch (deterministic data order + per-epoch
+        checkpoints make resume exact — the recovery story, SURVEY.md §5)."""
+        if not self.cfg.RESUME or self.trainable is None:
+            return 0
+        import glob
+        import re as _re
+
+        pattern = os.path.join(self.cfg.RESUME, self.model_name, "model.pth.tar-*")
+        epochs = []
+        for path in glob.glob(pattern):
+            m = _re.search(r"model\.pth\.tar-(\d+)$", path)
+            if m:
+                epochs.append(int(m.group(1)))
+        if not epochs:
+            print(f"RESUME requested but no checkpoints under {pattern}")
+            return 0
+        last = max(epochs)
+        self.load_model(self.cfg.RESUME, epoch=last)
+        self.global_step = last * max(1, len(self.dm.train_loader))
+        print(f"Resumed from epoch {last}")
+        return last
 
     def run_epoch(self):
         cfg = self.cfg
         num_batches = len(self.dm.train_loader)
         t0 = time.time()
+        timer = StepTimer()
+        profiling = bool(cfg.TRAIN.PROFILE_DIR) and self.epoch == 0
         for batch_idx, batch in enumerate(self.dm.train_loader):
-            batch = shard_batch(self.mesh, batch)
-            self.trainable, self.opt_state, loss, acc = self._train_step(
-                self.trainable, self.opt_state, self.frozen, self.aux, batch
+            trace = profile_trace(
+                cfg.TRAIN.PROFILE_DIR if profiling and batch_idx == 1 else None
             )
+            timer.start()
+            with trace:
+                batch = shard_batch(self.mesh, batch)
+                self.trainable, self.opt_state, loss, acc = self._train_step(
+                    self.trainable, self.opt_state, self.frozen, self.aux, batch
+                )
+            timer.stop()
             self.global_step += 1
             if (batch_idx + 1) % max(1, cfg.TRAIN.PRINT_FREQ) == 0 or (
                 batch_idx + 1 == num_batches
@@ -225,11 +259,13 @@ class TrainerBase:
                 loss_v, acc_v = float(loss), float(acc)
                 lr = float(self.lr_schedule(self.global_step - 1))
                 elapsed = time.time() - t0
+                bsz = cfg.DATALOADER.TRAIN_X.BATCH_SIZE
                 print(
                     f"epoch [{self.epoch + 1}/{cfg.OPTIM.MAX_EPOCH}] "
                     f"batch [{batch_idx + 1}/{num_batches}] "
                     f"loss {loss_v:.4f} acc {100 * acc_v:.2f} lr {lr:.2e} "
-                    f"({elapsed:.1f}s)"
+                    f"step {timer.avg * 1e3:.0f}ms "
+                    f"{timer.throughput(bsz):.1f}img/s ({elapsed:.1f}s)"
                 )
                 self.metrics.log(
                     {
@@ -239,6 +275,8 @@ class TrainerBase:
                         "loss": loss_v,
                         "acc": acc_v,
                         "lr": lr,
+                        "step_time": timer.avg,
+                        "imgs_per_sec": timer.throughput(bsz),
                     }
                 )
 

@@ -1,0 +1,87 @@
+"""Aux subsystems: resume, tf.data pipeline, profiling timer, download
+registry (offline parts only)."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from mudpt_tpu.config import default_config
+from mudpt_tpu.trainers import build_trainer
+from mudpt_tpu.utils.profiling import StepTimer
+
+from tests.test_trainers import tiny_cfg
+
+
+def test_resume_continues_from_checkpoint(tmp_path):
+    cfg = tiny_cfg("CoOp", tmp_path)
+    cfg.OPTIM.MAX_EPOCH = 2
+    cfg.TRAIN.CHECKPOINT_FREQ = 1
+    tr = build_trainer(cfg)
+    tr.train()
+    assert os.path.exists(f"{cfg.OUTPUT_DIR}/prompt_learner/model.pth.tar-2")
+
+    cfg2 = tiny_cfg("CoOp", tmp_path)
+    cfg2.OPTIM.MAX_EPOCH = 4
+    cfg2.RESUME = cfg.OUTPUT_DIR
+    cfg2.OUTPUT_DIR = str(tmp_path / "resumed")
+    tr2 = build_trainer(cfg2)
+    start = tr2.resume_if_requested()
+    assert start == 2
+    ctx_resumed = np.asarray(tr2.trainable["ctx"])
+    ctx_trained = np.asarray(tr.trainable["ctx"])
+    assert np.allclose(ctx_resumed, ctx_trained)
+
+
+def test_tfdata_pipeline(tmp_path):
+    pytest.importorskip("tensorflow")
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    from mudpt_tpu.data.datum import Datum
+    from mudpt_tpu.data.tfdata import TFDataLoader
+
+    items = []
+    for i in range(10):
+        p = img_dir / f"{i}.jpg"
+        Image.new("RGB", (40, 30), color=(i * 20, 10, 10)).save(p)
+        items.append(Datum(impath=str(p), label=i % 2, classname=f"c{i % 2}"))
+
+    loader = TFDataLoader(items, 4, size=16, is_train=False)
+    batches = list(loader)
+    assert len(batches) == 3
+    assert batches[0]["image"].shape == (4, 16, 16, 3)
+    assert batches[-1]["valid"].sum() == 2
+
+    train = TFDataLoader(items, 4, size=16, is_train=True, shuffle=True, drop_last=True)
+    assert len(list(train)) == 2
+
+
+def test_tfdata_eval_matches_pil(tmp_path):
+    """Numerical cross-check: tf.data eval preprocessing vs the PIL
+    transform on the same image (bicubic differs slightly between
+    libraries; tolerance is loose but catches layout/normalization bugs)."""
+    pytest.importorskip("tensorflow")
+    from mudpt_tpu.data.datum import Datum
+    from mudpt_tpu.data.tfdata import TFDataLoader
+    from mudpt_tpu.data.transforms import EvalTransform, load_image
+
+    p = str(tmp_path / "x.jpg")
+    # smooth gradient: high-frequency noise would amplify legitimate
+    # PIL-vs-TF bicubic differences far beyond layout-bug magnitudes
+    yy, xx = np.mgrid[0:64, 0:48]
+    img = np.stack([yy * 4, xx * 5, (yy + xx) * 2], axis=-1).astype(np.uint8)
+    Image.fromarray(img).save(p, quality=95)
+
+    pil_out = EvalTransform(size=32)(load_image(p))
+    loader = TFDataLoader([Datum(impath=p, label=0, classname="x")], 1, size=32)
+    tf_out = next(iter(loader))["image"][0]
+    assert np.mean(np.abs(pil_out - tf_out)) < 0.12
+
+
+def test_step_timer():
+    t = StepTimer()
+    t.start()
+    dt = t.stop()
+    assert dt >= 0 and t.avg > 0
+    assert t.throughput(10) > 0
