@@ -1,4 +1,4 @@
-import time, functools, json, sys
+import time, functools
 import jax, jax.numpy as jnp, numpy as np
 import optax
 from mudpt_tpu.models.clip import VIT_B16, cast_matmul_weights, init_clip_params
@@ -38,7 +38,7 @@ def run(B, attn_impl):
         return optax.apply_updates(tr, upd), st, loss
     imgs = jnp.asarray(np.random.randn(B,224,224,3), jnp.float32)
     labels = jnp.asarray(np.random.randint(0,100,B), jnp.int32)
-    tr = jax.tree_util.tree_map(lambda x: x, trainable0)
+    tr = jax.tree_util.tree_map(jnp.copy, trainable0)
     st = tx.init(tr)
     try:
         for _ in range(2):
@@ -54,5 +54,7 @@ def run(B, attn_impl):
     except Exception as e:
         print(f"B={B} attn={attn_impl}: FAILED {type(e).__name__} {str(e)[:150]}", flush=True)
 
-for B, impl in [(128,"xla"), (256,"xla"), (256,"pallas"), (128,"pallas"), (512,"xla")]:
-    run(B, impl)
+import sys
+for spec in sys.argv[1:]:
+    B, impl = spec.split(":")
+    run(int(B), impl)

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
 
 A100_BASELINE_IPS = 850.0
@@ -116,6 +117,19 @@ def main() -> None:
     assert final_loss == final_loss, "NaN loss in benchmark"
 
     ips = args.batch * args.steps / dt
+
+    # analytic matmul-FLOP estimate for the step (fwd + grad + remat
+    # recompute =~ 4x fwd on the differentiated path)
+    def tower_fwd_flops(n_seq, n_layers, d, rows):
+        per_tok_layer = (12 * d * d + 4 * n_seq * d) * 2  # qkv/out/mlp + attn
+        return per_tok_layer * n_seq * n_layers * rows
+
+    img_fwd = tower_fwd_flops(199, 12, 768, args.batch)
+    txt_fwd = tower_fwd_flops(77, 12, 512, args.n_cls)
+    step_flops = 4 * (img_fwd + txt_fwd)
+    achieved = step_flops * args.steps / dt
+    peak = float(os.environ.get("TPU_PEAK_FLOPS", 197e12))  # v5e bf16
+
     print(
         json.dumps(
             {
@@ -126,6 +140,8 @@ def main() -> None:
                 "value": round(ips, 2),
                 "unit": "images/sec/chip",
                 "vs_baseline": round(ips / A100_BASELINE_IPS, 3),
+                "model_flops_per_sec": round(achieved / 1e12, 2),
+                "mfu_vs_peak": round(achieved / peak, 3),
             }
         )
     )
