@@ -34,7 +34,17 @@ def main() -> None:
     ap.add_argument("--depth", type=int, default=9)
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--warmup", type=int, default=3)
+    ap.add_argument("--remat", choices=["auto", "selective", "full", "none"],
+                    default="auto")
     args = ap.parse_args()
+
+    from mudpt_tpu.models.transformer import set_remat_mode
+
+    if args.remat == "auto":
+        # selective remat's saved activations fit HBM up to ~batch 96
+        set_remat_mode("selective" if args.batch <= 96 else "full")
+    else:
+        set_remat_mode(args.remat)
 
     import jax
     import jax.numpy as jnp

@@ -21,6 +21,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 
 def layer_norm(p, x: jax.Array, eps: float = 1e-5) -> jax.Array:
@@ -85,7 +86,11 @@ def attention(
         ) * scale
         if mask is not None:
             scores = scores + mask.astype(jnp.float32)
+        # named for the selective remat policy: the (B,H,S,S) fp32 score/prob
+        # tensors are the memory hogs — recomputed in backward, never stored
+        scores = checkpoint_name(scores, "attn_scores")
         probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+        probs = checkpoint_name(probs, "attn_probs")
         out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
     out = out.transpose(0, 2, 1, 3).reshape(B, S, D)
     return jnp.dot(out, p["out_w"].astype(x.dtype)) + p["out_b"].astype(x.dtype)

@@ -25,12 +25,27 @@ static shapes, no retracing.
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 
 from mudpt_tpu.models.layers import residual_block
+
+# Rematerialization strategy for the scan body:
+#   selective — save block activations EXCEPT the named fp32 attention
+#               score/prob tensors (cheap recompute, moderate memory)
+#   full      — save only the scan carry; recompute whole blocks in backward
+#               (max batch size, ~1/3 extra forward FLOPs)
+#   none      — save everything (fastest when it fits)
+_REMAT_MODE = os.environ.get("MUDPT_TPU_REMAT", "selective")
+
+
+def set_remat_mode(name: str) -> None:
+    assert name in ("selective", "full", "none"), name
+    global _REMAT_MODE
+    _REMAT_MODE = name
 
 
 def make_injection_schedule(
@@ -97,10 +112,11 @@ def transformer_forward(
     ``stacked_params``: block param pytree with leading layer axis.
     ``prompts``/``prompt_mask``: from :func:`make_injection_schedule`.
 
-    ``remat``: rematerialize each block in the backward pass instead of
-    saving its activations (the fp32 attention scores alone are
-    B*H*S^2*4 bytes per layer; on a 16 GB chip remat is what makes large
-    batches fit — HBM capacity traded for ~1/3 extra forward FLOPs).
+    ``remat``: selective rematerialization — everything in a block may be
+    saved for backward EXCEPT the named (B,H,S,S) fp32 attention score/prob
+    tensors (B*H*S^2*4 bytes per layer per tower — the reason a batch-128
+    step doesn't fit 16 GB HBM un-rematted).  Backward recomputes just the
+    score einsum + softmax (~2% of forward FLOPs) instead of whole blocks.
     """
     if prompts is None:
         def body(h, layer_params):
@@ -116,8 +132,14 @@ def transformer_forward(
             h = residual_block(layer_params, h, n_head, mask, causal)
             return h, None
 
-    if remat:
-        body = jax.checkpoint(body, policy=None)
+    if remat and _REMAT_MODE != "none":
+        if _REMAT_MODE == "selective":
+            policy = jax.checkpoint_policies.save_anything_except_these_names(
+                "attn_scores", "attn_probs"
+            )
+        else:
+            policy = None
+        body = jax.checkpoint(body, policy=policy)
     xs = (
         stacked_params
         if prompts is None
