@@ -28,7 +28,7 @@ A100_BASELINE_IPS = 850.0
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--batch", type=int, default=80)
     ap.add_argument("--n-cls", type=int, default=100)
     ap.add_argument("--n-ctx", type=int, default=2)
     ap.add_argument("--depth", type=int, default=9)
@@ -41,8 +41,9 @@ def main() -> None:
     from mudpt_tpu.models.transformer import set_remat_mode
 
     if args.remat == "auto":
-        # selective remat's saved activations fit HBM up to ~batch 96
-        set_remat_mode("selective" if args.batch <= 96 else "full")
+        # measured on v5e-lite: no-remat is fastest and fits up to ~batch 96;
+        # beyond that full block remat keeps memory flat
+        set_remat_mode("none" if args.batch <= 96 else "full")
     else:
         set_remat_mode(args.remat)
 
@@ -136,7 +137,11 @@ def main() -> None:
 
     img_fwd = tower_fwd_flops(199, 12, 768, args.batch)
     txt_fwd = tower_fwd_flops(77, 12, 512, args.n_cls)
-    step_flops = 4 * (img_fwd + txt_fwd)
+    # fwd + ~2x for backward; +1x recompute only when block remat is active
+    from mudpt_tpu.models import transformer as _T
+
+    mult = 3 if _T._REMAT_MODE == "none" else 4
+    step_flops = mult * (img_fwd + txt_fwd)
     achieved = step_flops * args.steps / dt
     peak = float(os.environ.get("TPU_PEAK_FLOPS", 197e12))  # v5e bf16
 

@@ -33,13 +33,16 @@ import jax.numpy as jnp
 
 from mudpt_tpu.models.layers import residual_block
 
-# Rematerialization strategy for the scan body:
-#   selective — save block activations EXCEPT the named fp32 attention
-#               score/prob tensors (cheap recompute, moderate memory)
-#   full      — save only the scan carry; recompute whole blocks in backward
-#               (max batch size, ~1/3 extra forward FLOPs)
-#   none      — save everything (fastest when it fits)
-_REMAT_MODE = os.environ.get("MUDPT_TPU_REMAT", "selective")
+# Rematerialization strategy for the scan body (measured on TPU v5e-lite,
+# MuDPT train step, n_cls=100):
+#   none      — save everything; fastest when it fits
+#               (626 img/s @ B=80; OOM from ~B=112)
+#   full      — save only the scan carry, recompute whole blocks in backward;
+#               enables B>=512 at a flat ~565 img/s
+#   selective — save all but the named fp32 attention score/prob tensors;
+#               measured strictly worse than both (activation HBM writes
+#               cost more than recompute) — kept for experimentation
+_REMAT_MODE = os.environ.get("MUDPT_TPU_REMAT", "none")
 
 
 def set_remat_mode(name: str) -> None:
