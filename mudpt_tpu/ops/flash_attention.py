@@ -29,7 +29,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _pad_len(s: int, multiple: int = 128) -> int:
+def _pad_len(s: int, multiple: int = 8) -> int:
     return -(-s // multiple) * multiple
 
 
