@@ -235,19 +235,33 @@ class TrainerBase:
         print(f"Resumed from epoch {last}")
         return last
 
+    def _device_prefetch(self, loader):
+        """Move the NEXT batch to device while the current step computes —
+        dispatch is async, so device_put overlaps with device compute."""
+        it = iter(loader)
+        prev = None
+        for batch in it:
+            cur = shard_batch(self.mesh, batch)
+            if prev is not None:
+                yield prev
+            prev = cur
+        if prev is not None:
+            yield prev
+
     def run_epoch(self):
         cfg = self.cfg
         num_batches = len(self.dm.train_loader)
         t0 = time.time()
         timer = StepTimer()
         profiling = bool(cfg.TRAIN.PROFILE_DIR) and self.epoch == 0
-        for batch_idx, batch in enumerate(self.dm.train_loader):
+        for batch_idx, batch in enumerate(
+            self._device_prefetch(self.dm.train_loader)
+        ):
             trace = profile_trace(
                 cfg.TRAIN.PROFILE_DIR if profiling and batch_idx == 1 else None
             )
             timer.start()
             with trace:
-                batch = shard_batch(self.mesh, batch)
                 self.trainable, self.opt_state, loss, acc = self._train_step(
                     self.trainable, self.opt_state, self.frozen, self.aux, batch
                 )
@@ -298,6 +312,17 @@ class TrainerBase:
 
     def after_train(self):
         if not self.cfg.TEST.NO_TEST:
+            if (
+                self.cfg.TEST.FINAL_MODEL == "best_val"
+                and self.trainable is not None
+                and os.path.exists(
+                    os.path.join(
+                        self.cfg.OUTPUT_DIR, self.model_name, "model-best.pth.tar"
+                    )
+                )
+            ):
+                print("Testing with the best-on-val checkpoint")
+                self.load_model(self.cfg.OUTPUT_DIR, epoch=None)
             self.test()
         self.metrics.close()
 
