@@ -46,7 +46,7 @@ _REMAT_MODE = os.environ.get("MUDPT_TPU_REMAT", "none")
 
 # scan unroll factor: >1 lets XLA fuse across adjacent layers at the cost of
 # compile time (profiling showed ~15%/step in scan buffer stacking)
-_SCAN_UNROLL = int(os.environ.get("MUDPT_TPU_SCAN_UNROLL", "1"))
+_SCAN_UNROLL = int(os.environ.get("MUDPT_TPU_SCAN_UNROLL", "12"))
 
 
 def set_remat_mode(name: str) -> None:
