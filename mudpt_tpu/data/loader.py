@@ -44,6 +44,7 @@ class DataLoader:
         self.drop_last = drop_last and len(items) >= batch_size
         self.num_workers = max(1, num_workers)
         self.prefetch = prefetch
+        self._seed = seed
         self._rng = random.Random(seed)
         self._epoch = 0
 
@@ -53,16 +54,20 @@ class DataLoader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
-    def _decode(self, item: Datum) -> np.ndarray:
+    def _decode(self, item_and_rng) -> np.ndarray:
+        item, rng = item_and_rng
         if item.array is not None:
             arr = np.asarray(item.array, np.float32)
             if self.transform is not None and hasattr(self.transform, "apply_array"):
-                arr = self.transform.apply_array(arr)
+                arr = self.transform.apply_array(arr, rng)
             return arr
-        return self.transform(load_image(item.impath))
+        try:
+            return self.transform(load_image(item.impath), rng)
+        except TypeError:
+            return self.transform(load_image(item.impath))
 
-    def _make_batch(self, chunk: List[Datum], pool) -> dict:
-        images = list(pool.map(self._decode, chunk))
+    def _make_batch(self, chunk: List[Datum], rngs, pool) -> dict:
+        images = list(pool.map(self._decode, zip(chunk, rngs)))
         labels = [it.label for it in chunk]
         n = len(chunk)
         pad = self.batch_size - n
@@ -81,12 +86,19 @@ class DataLoader:
             self._rng.shuffle(order)
         self._epoch += 1
 
+        # per-item RNGs seeded by (loader seed, epoch, position): augmentation
+        # is reproducible no matter how worker threads interleave
         chunks = []
         for i in range(0, len(order), self.batch_size):
-            chunk = [self.items[j] for j in order[i : i + self.batch_size]]
+            idxs = order[i : i + self.batch_size]
+            chunk = [self.items[j] for j in idxs]
             if self.drop_last and len(chunk) < self.batch_size:
                 continue
-            chunks.append(chunk)
+            rngs = [
+                random.Random(hash((self._seed, self._epoch, i + n)) & 0xFFFFFFFF)
+                for n in range(len(chunk))
+            ]
+            chunks.append((chunk, rngs))
 
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
@@ -95,8 +107,8 @@ class DataLoader:
         def producer():
             try:
                 with ThreadPoolExecutor(self.num_workers) as pool:
-                    for chunk in chunks:
-                        q.put(self._make_batch(chunk, pool))
+                    for chunk, rngs in chunks:
+                        q.put(self._make_batch(chunk, rngs, pool))
             except BaseException as e:  # surface in consumer
                 error.append(e)
             finally:

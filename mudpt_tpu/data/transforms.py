@@ -45,7 +45,7 @@ class EvalTransform:
         self.interp = _INTERP[interpolation]
         self.mean, self.std = mean, std
 
-    def apply_array(self, arr: np.ndarray) -> np.ndarray:
+    def apply_array(self, arr: np.ndarray, rng=None) -> np.ndarray:
         """Normalize a pre-decoded [0,1] HWC array (synthetic datasets)."""
         return _normalize(np.asarray(arr, np.float32), self.mean, self.std)
 
@@ -79,18 +79,18 @@ class TrainTransform:
         self.ops = tuple(transforms)
         self._fallback = EvalTransform(size, interpolation, mean, std)
 
-    def _random_resized_crop(self, img: Image.Image) -> Image.Image:
+    def _random_resized_crop(self, img: Image.Image, rng) -> Image.Image:
         w, h = img.size
         area = w * h
         for _ in range(10):
-            target_area = area * random.uniform(*self.scale)
+            target_area = area * rng.uniform(*self.scale)
             log_ratio = (math.log(self.ratio[0]), math.log(self.ratio[1]))
-            aspect = math.exp(random.uniform(*log_ratio))
+            aspect = math.exp(rng.uniform(*log_ratio))
             cw = int(round(math.sqrt(target_area * aspect)))
             ch = int(round(math.sqrt(target_area / aspect)))
             if 0 < cw <= w and 0 < ch <= h:
-                left = random.randint(0, w - cw)
-                top = random.randint(0, h - ch)
+                left = rng.randint(0, w - cw)
+                top = rng.randint(0, h - ch)
                 return img.resize(
                     (self.size, self.size),
                     self.interp,
@@ -109,21 +109,24 @@ class TrainTransform:
             (self.size, self.size), self.interp, box=(left, top, left + cw, top + ch)
         )
 
-    def apply_array(self, arr: np.ndarray) -> np.ndarray:
+    def apply_array(self, arr: np.ndarray, rng=random) -> np.ndarray:
         """Normalize + random flip for pre-decoded [0,1] HWC arrays."""
         arr = np.asarray(arr, np.float32)
-        if "random_flip" in self.ops and random.random() < 0.5:
+        if "random_flip" in self.ops and rng.random() < 0.5:
             arr = arr[:, ::-1]
         if "normalize" in self.ops:
             arr = _normalize(arr, self.mean, self.std)
         return arr
 
-    def __call__(self, img: Image.Image) -> np.ndarray:
+    def __call__(self, img: Image.Image, rng=random) -> np.ndarray:
+        """``rng``: a random.Random (or the module) — the loader passes a
+        per-item seeded instance so augmentation is deterministic regardless
+        of worker-thread interleaving."""
         if "random_resized_crop" in self.ops:
-            img = self._random_resized_crop(img)
+            img = self._random_resized_crop(img, rng)
         else:
             return self._fallback(img)
-        if "random_flip" in self.ops and random.random() < 0.5:
+        if "random_flip" in self.ops and rng.random() < 0.5:
             img = img.transpose(Image.FLIP_LEFT_RIGHT)
         arr = np.asarray(img, np.float32) / 255.0
         if "normalize" in self.ops:
