@@ -1,0 +1,50 @@
+"""Numerical equivalence of the sharded paths: the same MuDPT model
+evaluated on a 1-device mesh vs a 4x2 (data x model) 8-device mesh must
+produce identical logits and losses — the sharding layout (batch on data,
+padded class axis on model) is purely an execution detail."""
+
+import numpy as np
+
+import jax
+
+from mudpt_tpu.parallel.mesh import shard_batch
+from tests.test_trainers import tiny_cfg
+
+
+def test_single_vs_mesh_equivalence(tmp_path):
+    from mudpt_tpu.trainers.mudpt import MuDPT
+
+    devices = jax.devices()
+    assert len(devices) >= 8
+
+    cfg1 = tiny_cfg("MuDPT", tmp_path / "a")
+    tr1 = MuDPT(cfg1, devices=devices[:1])
+
+    cfg8 = tiny_cfg("MuDPT", tmp_path / "b")
+    cfg8.PARALLEL.MODEL = 2
+    tr8 = MuDPT(cfg8, devices=devices[:8])
+    assert dict(tr8.mesh.mesh.shape) == {"data": 4, "model": 2}
+
+    # identical data (same seed -> same synthetic set); take one test batch
+    batch = next(iter(tr1.dm.test_loader))
+    logits1 = tr1._eval_step(
+        tr1.trainable, tr1.frozen, tr1.aux, shard_batch(tr1.mesh, batch)["image"]
+    )
+    logits8 = tr8._eval_step(
+        tr8.trainable, tr8.frozen, tr8.aux, shard_batch(tr8.mesh, batch)["image"]
+    )
+    np.testing.assert_allclose(
+        np.asarray(logits1), np.asarray(logits8), rtol=1e-5, atol=1e-5
+    )
+
+    # one train step each: losses match
+    sb1 = shard_batch(tr1.mesh, batch)
+    sb8 = shard_batch(tr8.mesh, batch)
+    _, _, loss1, acc1 = tr1._train_step(
+        tr1.trainable, tr1.opt_state, tr1.frozen, tr1.aux, sb1
+    )
+    _, _, loss8, acc8 = tr8._train_step(
+        tr8.trainable, tr8.opt_state, tr8.frozen, tr8.aux, sb8
+    )
+    assert abs(float(loss1) - float(loss8)) < 1e-5
+    assert abs(float(acc1) - float(acc8)) < 1e-6
