@@ -129,19 +129,33 @@ def main() -> None:
 
     ips = args.batch * args.steps / dt
 
-    # analytic matmul-FLOP estimate for the step (fwd + grad + remat
-    # recompute =~ 4x fwd on the differentiated path)
-    def tower_fwd_flops(n_seq, n_layers, d, rows):
-        per_tok_layer = (12 * d * d + 4 * n_seq * d) * 2  # qkv/out/mlp + attn
-        return per_tok_layer * n_seq * n_layers * rows
+    # FLOPs per step: prefer XLA's own accounting for the compiled step
+    # (captures the frozen-backbone backward exactly: no dW for the
+    # backbone); fall back to an analytic matmul estimate.
+    step_flops = None
+    try:
+        compiled = train_step.lower(
+            trainable, opt_state, params, aux, images, labels
+        ).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        step_flops = float(ca.get("flops", 0)) or None
+    except Exception:
+        pass
+    if step_flops is None:
+        def tower_fwd_flops(n_seq, n_layers, d, rows):
+            per_tok_layer = (12 * d * d + 4 * n_seq * d) * 2
+            return per_tok_layer * n_seq * n_layers * rows
 
-    img_fwd = tower_fwd_flops(199, 12, 768, args.batch)
-    txt_fwd = tower_fwd_flops(77, 12, 512, args.n_cls)
-    # fwd + ~2x for backward; +1x recompute only when block remat is active
-    from mudpt_tpu.models import transformer as _T
+        img_fwd = tower_fwd_flops(199, 12, 768, args.batch)
+        txt_fwd = tower_fwd_flops(77, 12, 512, args.n_cls)
+        from mudpt_tpu.models import transformer as _T
 
-    mult = 3 if _T._REMAT_MODE == "none" else 4
-    step_flops = mult * (img_fwd + txt_fwd)
+        # fwd + ~1.2x dx-only backward (frozen backbone => no dW);
+        # +1x recompute under full remat
+        mult = 2.2 if _T._REMAT_MODE == "none" else 3.2
+        step_flops = mult * (img_fwd + txt_fwd)
     achieved = step_flops * args.steps / dt
     peak = float(os.environ.get("TPU_PEAK_FLOPS", 197e12))  # v5e bf16
 

@@ -24,8 +24,17 @@ import jax.numpy as jnp
 from jax.ad_checkpoint import checkpoint_name
 
 
+_LN_DTYPE = os.environ.get("MUDPT_TPU_LN", "fp32")  # fp32 (parity) | bf16 (experiment)
+
+
 def layer_norm(p, x: jax.Array, eps: float = 1e-5) -> jax.Array:
     dtype = x.dtype
+    if _LN_DTYPE == "bf16":
+        # experimental: normalize in input precision (NOT reference-parity)
+        mean = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+        y = (x - mean) * jax.lax.rsqrt(var + eps)
+        return y * p["scale"].astype(dtype) + p["bias"].astype(dtype)
     x32 = x.astype(jnp.float32)
     mean = jnp.mean(x32, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)

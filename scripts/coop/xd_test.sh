@@ -3,11 +3,11 @@
 # (reference scripts/coop/xd_test1.sh)
 source "$(dirname "$0")/../common.sh"
 TRAINER=CoOp
-CFG=CoOp/vit_b16_ep50.yaml
+CFG=${CFG:-CoOp/vit_b16_ep50.yaml}
 EPOCH=${EPOCH:-50}
 DATASETS=${DATASETS:-"caltech101 oxford_pets stanford_cars oxford_flowers food101 fgvc_aircraft sun397 dtd eurosat ucf101"}
 for dataset in ${DATASETS}; do
-  for seed in 1 2 3; do
+  for seed in ${SEEDS:-1 2 3}; do
     run_eval "${TRAINER}" "${dataset}" "${CFG}" "${seed}" \
       "${OUT_ROOT}/imagenet/${TRAINER}/$(basename ${CFG} .yaml)_16shots/seed_${seed}" "${EPOCH}" \
       "${OUT_ROOT}/xd_test/${dataset}/${TRAINER}/seed_${seed}"

@@ -3,11 +3,11 @@
 # (protocol of reference scripts/mudpt/run_b16_cls.sh:22-43)
 source "$(dirname "$0")/../common.sh"
 TRAINER=MuDPT
-CFG=MuDPT/vit_b16_bz4_ep10_nctx2_depth9.yaml
+CFG=${CFG:-MuDPT/vit_b16_bz4_ep10_nctx2_depth9.yaml}
 DATASETS=${DATASETS:-"imagenet caltech101 oxford_pets stanford_cars oxford_flowers food101 fgvc_aircraft sun397 dtd eurosat ucf101"}
 for dataset in ${DATASETS}; do
-  for shots in 16 8 4 2 1; do
-    for seed in 1 2 3; do
+  for shots in ${SHOTS:-16 8 4 2 1}; do
+    for seed in ${SEEDS:-1 2 3}; do
       run_train "${TRAINER}" "${dataset}" "${CFG}" "${shots}" "${seed}" \
         "${OUT_ROOT}/${dataset}/${TRAINER}/$(basename ${CFG} .yaml)_${shots}shots/seed_${seed}"
     done

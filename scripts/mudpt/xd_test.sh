@@ -3,11 +3,11 @@
 # (reference scripts/mudpt/xd_test1.sh)
 source "$(dirname "$0")/../common.sh"
 TRAINER=MuDPT
-CFG=MuDPT/vit_b16_bz4_ep10_nctx2_depth9.yaml
+CFG=${CFG:-MuDPT/vit_b16_bz4_ep10_nctx2_depth9.yaml}
 EPOCH=${EPOCH:-10}
 DATASETS=${DATASETS:-"caltech101 oxford_pets stanford_cars oxford_flowers food101 fgvc_aircraft sun397 dtd eurosat ucf101"}
 for dataset in ${DATASETS}; do
-  for seed in 1 2 3; do
+  for seed in ${SEEDS:-1 2 3}; do
     run_eval "${TRAINER}" "${dataset}" "${CFG}" "${seed}" \
       "${OUT_ROOT}/imagenet/${TRAINER}/$(basename ${CFG} .yaml)_16shots/seed_${seed}" "${EPOCH}" \
       "${OUT_ROOT}/xd_test/${dataset}/${TRAINER}/seed_${seed}"

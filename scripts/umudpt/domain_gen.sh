@@ -3,10 +3,10 @@
 # (reference scripts/umudpt/mudpt_eval.sh:24-36)
 source "$(dirname "$0")/../common.sh"
 TRAINER=UMuDPT
-CFG=UMuDPT/vit_b16_bz4_ep5_nctx2_depth9.yaml
+CFG=${CFG:-UMuDPT/vit_b16_bz4_ep5_nctx2_depth9.yaml}
 EPOCH=${EPOCH:-5}
 for dataset in imagenetv2 imagenet_sketch imagenet_a imagenet_r; do
-  for seed in 1 2 3; do
+  for seed in ${SEEDS:-1 2 3}; do
     run_eval "${TRAINER}" "${dataset}" "${CFG}" "${seed}" \
       "${OUT_ROOT}/imagenet/${TRAINER}/$(basename ${CFG} .yaml)_16shots/seed_${seed}" "${EPOCH}" \
       "${OUT_ROOT}/domain_gen/${dataset}/${TRAINER}/seed_${seed}"

@@ -3,11 +3,11 @@
 # (reference scripts/umudpt/test_base2new.sh:40-44)
 source "$(dirname "$0")/../common.sh"
 TRAINER=UMuDPT
-CFG=UMuDPT/vit_b16_bz4_ep5_nctx2_depth9.yaml
+CFG=${CFG:-UMuDPT/vit_b16_bz4_ep5_nctx2_depth9.yaml}
 EPOCH=${EPOCH:-5}
 DATASETS=${DATASETS:-"imagenet caltech101 oxford_pets stanford_cars oxford_flowers food101 fgvc_aircraft sun397 dtd eurosat ucf101"}
 for dataset in ${DATASETS}; do
-  for seed in 1 2 3; do
+  for seed in ${SEEDS:-1 2 3}; do
     run_eval "${TRAINER}" "${dataset}" "${CFG}" "${seed}" \
       "${OUT_ROOT}/base2new/train_base/${dataset}/${TRAINER}/seed_${seed}" "${EPOCH}" \
       "${OUT_ROOT}/base2new/test_new/${dataset}/${TRAINER}/seed_${seed}" \
