@@ -28,7 +28,7 @@ A100_BASELINE_IPS = 850.0
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=80)
+    ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--n-cls", type=int, default=100)
     ap.add_argument("--n-ctx", type=int, default=2)
     ap.add_argument("--depth", type=int, default=9)
@@ -38,12 +38,16 @@ def main() -> None:
                     default="auto")
     args = ap.parse_args()
 
+    from mudpt_tpu.models.layers import resolve_block_impl
     from mudpt_tpu.models.transformer import set_remat_mode
 
     if args.remat == "auto":
-        # measured on v5e-lite: no-remat is fastest and fits up to ~batch 96;
-        # beyond that full block remat keeps memory flat
-        set_remat_mode("none" if args.batch <= 96 else "full")
+        # pallas fused blocks save only x per layer => no-remat fits large
+        # batches; with XLA blocks no-remat fits to ~batch 96 on 16 GB
+        if resolve_block_impl() == "pallas":
+            set_remat_mode("none")
+        else:
+            set_remat_mode("none" if args.batch <= 96 else "full")
     else:
         set_remat_mode(args.remat)
 
@@ -131,18 +135,22 @@ def main() -> None:
 
     # FLOPs per step: prefer XLA's own accounting for the compiled step
     # (captures the frozen-backbone backward exactly: no dW for the
-    # backbone); fall back to an analytic matmul estimate.
+    # backbone) — EXCEPT with Pallas fused blocks, whose custom-call FLOPs
+    # XLA cannot see; there we use the analytic matmul estimate.
+    from mudpt_tpu.models.layers import resolve_block_impl as _rbi
+
     step_flops = None
-    try:
-        compiled = train_step.lower(
-            trainable, opt_state, params, aux, images, labels
-        ).compile()
-        ca = compiled.cost_analysis()
-        if isinstance(ca, (list, tuple)):
-            ca = ca[0]
-        step_flops = float(ca.get("flops", 0)) or None
-    except Exception:
-        pass
+    if _rbi() != "pallas":
+        try:
+            compiled = train_step.lower(
+                trainable, opt_state, params, aux, images, labels
+            ).compile()
+            ca = compiled.cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
+            step_flops = float(ca.get("flops", 0)) or None
+        except Exception:
+            pass
     if step_flops is None:
         def tower_fwd_flops(n_seq, n_layers, d, rows):
             per_tok_layer = (12 * d * d + 4 * n_seq * d) * 2

@@ -111,8 +111,46 @@ def mlp(p, x: jax.Array) -> jax.Array:
     return jnp.dot(h, p["proj_w"].astype(x.dtype)) + p["proj_b"].astype(x.dtype)
 
 
+_BLOCK_IMPL = os.environ.get("MUDPT_TPU_BLOCK", "auto")
+
+
+def set_block_impl(name: str) -> None:
+    """'xla', 'pallas', or 'auto' (pallas on TPU).
+
+    'pallas' = fused VMEM half-block kernels with a frozen-weight backward —
+    ONLY valid when block weights receive no gradients, i.e. the
+    frozen-backbone prompt-tuning regime (prompt tokens still receive their
+    gradients through dx).  Measured ~2x end-to-end on the MuDPT train step
+    (docs/BENCHMARKS.md)."""
+    assert name in ("xla", "pallas", "auto"), name
+    global _BLOCK_IMPL
+    _BLOCK_IMPL = name
+
+
+def resolve_block_impl() -> str:
+    if _BLOCK_IMPL == "auto":
+        return "pallas" if jax.default_backend() == "tpu" else "xla"
+    return _BLOCK_IMPL
+
+
 def residual_block(p, x: jax.Array, n_head: int, mask=None, causal=False) -> jax.Array:
     """One pre-LN residual block (reference clip/model.py:177-198)."""
+    if resolve_block_impl() == "pallas" and (mask is None or causal):
+        from mudpt_tpu.ops.fused_block import attn_halfblock, mlp_halfblock
+
+        x = attn_halfblock(
+            x,
+            p["ln_1"]["scale"], p["ln_1"]["bias"],
+            p["attn"]["qkv_w"], p["attn"]["qkv_b"],
+            p["attn"]["out_w"], p["attn"]["out_b"],
+            n_head, causal,
+        )
+        return mlp_halfblock(
+            x,
+            p["ln_2"]["scale"], p["ln_2"]["bias"],
+            p["mlp"]["fc_w"], p["mlp"]["fc_b"],
+            p["mlp"]["proj_w"], p["mlp"]["proj_b"],
+        )
     x = x + attention(p["attn"], layer_norm(p["ln_1"], x), n_head, mask, causal)
     x = x + mlp(p["mlp"], layer_norm(p["ln_2"], x))
     return x

@@ -44,9 +44,19 @@ from mudpt_tpu.models.layers import residual_block
 #               cost more than recompute) — kept for experimentation
 _REMAT_MODE = os.environ.get("MUDPT_TPU_REMAT", "none")
 
-# scan unroll factor: >1 lets XLA fuse across adjacent layers at the cost of
-# compile time (profiling showed ~15%/step in scan buffer stacking)
-_SCAN_UNROLL = int(os.environ.get("MUDPT_TPU_SCAN_UNROLL", "12"))
+# scan unroll factor.  "auto": with XLA blocks, full unroll (+24%: removes
+# scan activation-stacking DUS + while overhead); with Pallas fused blocks,
+# keep the rolled scan (the custom_vjp saves only x per layer, so stacking
+# is cheap, and 12x fewer custom calls keeps the compiler happy).
+_SCAN_UNROLL = os.environ.get("MUDPT_TPU_SCAN_UNROLL", "auto")
+
+
+def _resolve_unroll() -> int:
+    if _SCAN_UNROLL == "auto":
+        from mudpt_tpu.models.layers import resolve_block_impl
+
+        return 1 if resolve_block_impl() == "pallas" else 12
+    return int(_SCAN_UNROLL)
 
 
 def set_remat_mode(name: str) -> None:
@@ -152,5 +162,5 @@ def transformer_forward(
         if prompts is None
         else (stacked_params, prompts, prompt_mask)
     )
-    x, _ = jax.lax.scan(body, x, xs, unroll=_SCAN_UNROLL)
+    x, _ = jax.lax.scan(body, x, xs, unroll=_resolve_unroll())
     return x

@@ -1,0 +1,343 @@
+"""Fused residual half-block Pallas kernels with frozen-weight backward.
+
+The frozen-CLIP structure admits a specialization XLA cannot express: the
+backbone's weights never receive gradients, so the backward pass through a
+block needs ONLY dx — no dW/db/dLN.  Each half-block therefore runs as one
+VMEM-resident Pallas program in both directions:
+
+  attention half:  y = x + out_proj(MHA(LN_fp32(x)))
+  mlp half:        y = x + proj(QuickGELU(fc(LN_fp32(x))))
+
+Forward keeps every intermediate (LN stats, QKV, per-head softmax, GELU
+pre-activations) in VMEM; backward recomputes them in-kernel (only x is
+saved) and emits dx.  Measured on TPU v5e: the attention half runs ~3x
+faster than the equivalent XLA segment (docs/BENCHMARKS.md).
+
+Gradients w.r.t. the block weights are ZERO by construction — these ops are
+only legal under a frozen backbone (the prompt-tuning regime; prompt tokens
+receive their gradients through dx at the splice positions).  Enabled via
+``MUDPT_TPU_BLOCK=pallas`` / :func:`mudpt_tpu.models.layers.set_block_impl`.
+
+The causal text mask is handled with a static flag (mask built in-kernel).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG = -1e30
+
+
+def _ln_fp32(x, scale, bias, eps=1e-5):
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    inv = jax.lax.rsqrt(var + eps)
+    xhat = (x32 - mean) * inv
+    xn = xhat * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    return xn, xhat, inv
+
+
+def _ln_bwd_dx(dxn, xhat, inv, scale):
+    """dx of LayerNorm given upstream grad on the normalized output."""
+    g = dxn * scale.astype(jnp.float32)  # (S, D) fp32
+    gm = jnp.mean(g, axis=-1, keepdims=True)
+    gx = jnp.mean(g * xhat, axis=-1, keepdims=True)
+    return (g - gm - xhat * gx) * inv
+
+
+def _attn_heads(qkv, n_head, D, scale, causal, dtype):
+    """Per-head softmax attention; returns list of (o, p, q, k, v)."""
+    S = qkv.shape[0]
+    hd = D // n_head
+    outs = []
+    mask = None
+    if causal:
+        row = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
+        mask = jnp.where(col > row, jnp.float32(_NEG), 0.0)
+    for h in range(n_head):
+        q = qkv[:, h * hd : (h + 1) * hd]
+        k = qkv[:, D + h * hd : D + (h + 1) * hd]
+        v = qkv[:, 2 * D + h * hd : 2 * D + (h + 1) * hd]
+        scores = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        if mask is not None:
+            scores = scores + mask
+        p = jax.nn.softmax(scores, axis=-1)
+        o = jax.lax.dot_general(
+            p.astype(dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        outs.append((o, p, q, k, v))
+    return outs
+
+
+# ---------------------------------------------------------------------------
+# attention half-block
+# ---------------------------------------------------------------------------
+
+def _attn_fwd_kernel(x_ref, ln_s, ln_b, qkv_w, qkv_b, out_w, out_b, y_ref,
+                     acc_ref, *, n_head, causal):
+    x = x_ref[0]
+    S, D = x.shape
+    xn, _, _ = _ln_fp32(x, ln_s[...], ln_b[...])
+    xn = xn.astype(x.dtype)
+    qkv = jax.lax.dot_general(
+        xn, qkv_w[...].astype(x.dtype), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype) + qkv_b[...].astype(x.dtype)
+    hd = D // n_head
+    for h, (o, _, _, _, _) in enumerate(
+        _attn_heads(qkv, n_head, D, hd ** -0.5, causal, x.dtype)
+    ):
+        acc_ref[:, h * hd : (h + 1) * hd] = o.astype(acc_ref.dtype)
+    attn_out = jax.lax.dot_general(
+        acc_ref[...].astype(x.dtype), out_w[...].astype(x.dtype),
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    ).astype(x.dtype) + out_b[...].astype(x.dtype)
+    y_ref[0] = x + attn_out
+
+
+def _attn_bwd_kernel(x_ref, ln_s, ln_b, qkv_w, qkv_b, out_w, out_b, g_ref,
+                     dx_ref, dqkv_ref, *, n_head, causal):
+    """Recompute forward, then dx only (weights frozen)."""
+    x = x_ref[0]
+    g = g_ref[0]
+    S, D = x.shape
+    hd = D // n_head
+    scale = hd ** -0.5
+
+    xn32, xhat, inv = _ln_fp32(x, ln_s[...], ln_b[...])
+    xn = xn32.astype(x.dtype)
+    qkv = jax.lax.dot_general(
+        xn, qkv_w[...].astype(x.dtype), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype) + qkv_b[...].astype(x.dtype)
+
+    # d(attn pre-out) = g @ out_w^T  (contract output dim)
+    d_acc = jax.lax.dot_general(
+        g, out_w[...].astype(g.dtype), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (S, D) fp32
+
+    heads = _attn_heads(qkv, n_head, D, scale, causal, x.dtype)
+    for h, (_, p, q, k, v) in enumerate(heads):
+        do = d_acc[:, h * hd : (h + 1) * hd].astype(jnp.float32)
+        vf = v.astype(jnp.float32)
+        dp = jax.lax.dot_general(            # do @ v^T
+            do, vf, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dv = jax.lax.dot_general(            # p^T @ do
+            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True)) * scale
+        dq = jax.lax.dot_general(
+            ds, k.astype(jnp.float32), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dk = jax.lax.dot_general(
+            ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dqkv_ref[:, h * hd : (h + 1) * hd] = dq.astype(dqkv_ref.dtype)
+        dqkv_ref[:, D + h * hd : D + (h + 1) * hd] = dk.astype(dqkv_ref.dtype)
+        dqkv_ref[:, 2 * D + h * hd : 2 * D + (h + 1) * hd] = dv.astype(
+            dqkv_ref.dtype
+        )
+
+    dxn = jax.lax.dot_general(               # dqkv @ qkv_w^T
+        dqkv_ref[...], qkv_w[...].astype(jnp.float32),
+        (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+    )
+    dx_ln = _ln_bwd_dx(dxn, xhat, inv, ln_s[...])
+    dx_ref[0] = (g.astype(jnp.float32) + dx_ln).astype(dx_ref.dtype)
+
+
+# ---------------------------------------------------------------------------
+# mlp half-block
+# ---------------------------------------------------------------------------
+
+def _quick_gelu(h):
+    return h * jax.nn.sigmoid(1.702 * h)
+
+
+def _quick_gelu_grad(h):
+    s = jax.nn.sigmoid(1.702 * h)
+    return s + 1.702 * h * s * (1.0 - s)
+
+
+def _mlp_fwd_kernel(x_ref, ln_s, ln_b, fc_w, fc_b, proj_w, proj_b, y_ref,
+                    *, _unused=None):
+    x = x_ref[0]
+    xn, _, _ = _ln_fp32(x, ln_s[...], ln_b[...])
+    xn = xn.astype(x.dtype)
+    # GELU runs in fp32: Mosaic miscompiles transcendentals on wide bf16
+    # vectors ('vector.broadcast' verification failure)
+    h32 = jax.lax.dot_general(
+        xn, fc_w[...].astype(x.dtype), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + fc_b[...].astype(jnp.float32)
+    a = _quick_gelu(h32).astype(x.dtype)
+    out = jax.lax.dot_general(
+        a, proj_w[...].astype(x.dtype), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype) + proj_b[...].astype(x.dtype)
+    y_ref[0] = x + out
+
+
+def _mlp_bwd_kernel(x_ref, ln_s, ln_b, fc_w, fc_b, proj_w, proj_b, g_ref,
+                    dx_ref, *, _unused=None):
+    x = x_ref[0]
+    g = g_ref[0]
+    xn32, xhat, inv = _ln_fp32(x, ln_s[...], ln_b[...])
+    xn = xn32.astype(x.dtype)
+    h32 = jax.lax.dot_general(
+        xn, fc_w[...].astype(x.dtype), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + fc_b[...].astype(jnp.float32)
+
+    da = jax.lax.dot_general(                # g @ proj_w^T
+        g, proj_w[...].astype(g.dtype), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dh = da * _quick_gelu_grad(h32)          # fp32 (Mosaic bf16-sigmoid bug)
+    dxn = jax.lax.dot_general(               # dh @ fc_w^T
+        dh.astype(x.dtype), fc_w[...].astype(x.dtype),
+        (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+    )
+    dx_ln = _ln_bwd_dx(dxn, xhat, inv, ln_s[...])
+    dx_ref[0] = (g.astype(jnp.float32) + dx_ln).astype(dx_ref.dtype)
+
+
+# ---------------------------------------------------------------------------
+# pallas_call plumbing + custom VJPs
+# ---------------------------------------------------------------------------
+
+def _full(*shape):
+    return pl.BlockSpec(
+        shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM
+    )
+
+
+def _row(S, D):
+    return pl.BlockSpec((1, S, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+
+
+def _call_attn(kernel, x, params, extra, out_shapes, scratch, **kw):
+    B, S, D = x.shape
+    specs = [
+        _row(S, D),
+        _full(D), _full(D),
+        _full(D, 3 * D), _full(3 * D),
+        _full(D, D), _full(D),
+    ] + [_row(S, D)] * len(extra)
+    return pl.pallas_call(
+        functools.partial(kernel, **kw),
+        grid=(B,),
+        in_specs=specs,
+        out_specs=jax.tree_util.tree_map(lambda _: _row(S, D), out_shapes),
+        out_shape=out_shapes,
+        scratch_shapes=scratch,
+        interpret=jax.default_backend() != "tpu",
+    )(x, *params, *extra)
+
+
+def _call_mlp(kernel, x, params, extra, out_shapes, **kw):
+    B, S, D = x.shape
+    Dh = params[2].shape[1]  # 4D
+    specs = [
+        _row(S, D),
+        _full(D), _full(D),
+        _full(D, Dh), _full(Dh),
+        _full(Dh, D), _full(D),
+    ] + [_row(S, D)] * len(extra)
+    return pl.pallas_call(
+        functools.partial(kernel, **kw),
+        grid=(B,),
+        in_specs=specs,
+        out_specs=jax.tree_util.tree_map(lambda _: _row(S, D), out_shapes),
+        out_shape=out_shapes,
+        interpret=jax.default_backend() != "tpu",
+    )(x, *params, *extra)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def attn_halfblock(x, ln_s, ln_b, qkv_w, qkv_b, out_w, out_b,
+                   n_head: int, causal: bool = False):
+    """y = x + out_proj(MHA(LN(x))).  Grads flow to x ONLY (frozen block)."""
+    y, _ = _attn_fwd(x, ln_s, ln_b, qkv_w, qkv_b, out_w, out_b, n_head, causal)
+    return y
+
+
+def _attn_fwd(x, ln_s, ln_b, qkv_w, qkv_b, out_w, out_b, n_head, causal):
+    B, S, D = x.shape
+    params = (ln_s, ln_b, qkv_w, qkv_b, out_w, out_b)
+    y = _call_attn(
+        _attn_fwd_kernel, x, params, (),
+        jax.ShapeDtypeStruct((B, S, D), x.dtype),
+        [pltpu.VMEM((S, D), jnp.float32)],
+        n_head=n_head, causal=causal,
+    )
+    return y, (x, params)
+
+
+def _attn_bwd(n_head, causal, res, g):
+    x, params = res
+    B, S, D = x.shape
+    dx = _call_attn(
+        _attn_bwd_kernel, x, params, (g,),
+        jax.ShapeDtypeStruct((B, S, D), x.dtype),
+        [pltpu.VMEM((S, 3 * D), jnp.float32)],
+        n_head=n_head, causal=causal,
+    )
+    zeros = tuple(jnp.zeros_like(p) for p in params)
+    return (dx, *zeros)
+
+
+attn_halfblock.defvjp(_attn_fwd, _attn_bwd)
+
+
+@jax.custom_vjp
+def mlp_halfblock(x, ln_s, ln_b, fc_w, fc_b, proj_w, proj_b):
+    """y = x + proj(QuickGELU(fc(LN(x)))).  Grads flow to x ONLY."""
+    y, _ = _mlp_fwd(x, ln_s, ln_b, fc_w, fc_b, proj_w, proj_b)
+    return y
+
+
+def _mlp_fwd(x, ln_s, ln_b, fc_w, fc_b, proj_w, proj_b):
+    B, S, D = x.shape
+    params = (ln_s, ln_b, fc_w, fc_b, proj_w, proj_b)
+    y = _call_mlp(
+        _mlp_fwd_kernel, x, params, (),
+        jax.ShapeDtypeStruct((B, S, D), x.dtype),
+    )
+    return y, (x, params)
+
+
+def _mlp_bwd(res, g):
+    x, params = res
+    B, S, D = x.shape
+    dx = _call_mlp(
+        _mlp_bwd_kernel, x, params, (g,),
+        jax.ShapeDtypeStruct((B, S, D), x.dtype),
+    )
+    zeros = tuple(jnp.zeros_like(p) for p in params)
+    return (dx, *zeros)
+
+
+mlp_halfblock.defvjp(_mlp_fwd, _mlp_bwd)
+
+
+# kept for the standalone microbenchmark in docs/BENCHMARKS.md
+def fused_attention_halfblock(x, ln_scale, ln_bias, qkv_w, qkv_b, out_w,
+                              out_b, n_head: int):
+    return attn_halfblock(
+        x, ln_scale, ln_bias, qkv_w, qkv_b, out_w, out_b, n_head, False
+    )
