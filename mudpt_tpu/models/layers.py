@@ -135,7 +135,15 @@ def resolve_block_impl() -> str:
 
 def residual_block(p, x: jax.Array, n_head: int, mask=None, causal=False) -> jax.Array:
     """One pre-LN residual block (reference clip/model.py:177-198)."""
-    if resolve_block_impl() == "pallas" and (mask is None or causal):
+    # Pallas half-block kernels hold weights + intermediates in VMEM; the
+    # MLP half fits comfortably up to D=768 (ViT-B towers). Wider models
+    # (ViT-L: D=1024, 4D=4096 => ~22 MB) fall back to XLA until the kernel
+    # gains weight streaming (see docs/KERNELS.md limits).
+    if (
+        resolve_block_impl() == "pallas"
+        and (mask is None or causal)
+        and x.shape[-1] <= 768
+    ):
         from mudpt_tpu.ops.fused_block import attn_halfblock, mlp_halfblock
 
         x = attn_halfblock(
