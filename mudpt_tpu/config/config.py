@@ -69,7 +69,7 @@ class DataLoaderCfg:
     TRAIN_X: LoaderSplitCfg = field(default_factory=lambda: LoaderSplitCfg(BATCH_SIZE=32))
     TEST: LoaderSplitCfg = field(default_factory=lambda: LoaderSplitCfg(BATCH_SIZE=100, SAMPLER="sequential"))
     NUM_WORKERS: int = 8
-    PIPELINE: str = "threads"  # threads (PIL) | tfdata (tf.data graph)
+    PIPELINE: str = "threads"  # threads (PIL) | tfdata (tf.data) | grain
 
 
 @_node

@@ -26,6 +26,24 @@ class DataManager:
             dataset = dataset_cls.build(cfg)
         self.dataset = dataset
 
+        if cfg.DATALOADER.PIPELINE == "grain":
+            from mudpt_tpu.data.grain_pipeline import GrainLoader
+
+            train_tf = build_transform(cfg, is_train=True)
+            test_tf = build_transform(cfg, is_train=False)
+            self.train_loader = GrainLoader(
+                dataset.train_x, train_tf, cfg.DATALOADER.TRAIN_X.BATCH_SIZE,
+                shuffle=True, drop_last=True, seed=cfg.SEED,
+            )
+            self.val_loader = (
+                GrainLoader(dataset.val, test_tf, cfg.DATALOADER.TEST.BATCH_SIZE)
+                if dataset.val else None
+            )
+            self.test_loader = GrainLoader(
+                dataset.test, test_tf, cfg.DATALOADER.TEST.BATCH_SIZE
+            )
+            return
+
         if cfg.DATALOADER.PIPELINE == "tfdata":
             from mudpt_tpu.data.tfdata import TFDataLoader
 

@@ -85,3 +85,26 @@ def test_step_timer():
     dt = t.stop()
     assert dt >= 0 and t.avg > 0
     assert t.throughput(10) > 0
+
+
+def test_grain_pipeline(tmp_path):
+    pytest.importorskip("grain")
+    from mudpt_tpu.config import default_config
+    from mudpt_tpu.data import DataManager
+
+    cfg = default_config()
+    cfg.DATASET.NAME = "Synthetic"
+    cfg.INPUT.SIZE = (16, 16)
+    cfg.DATALOADER.PIPELINE = "grain"
+    cfg.DATALOADER.TRAIN_X.BATCH_SIZE = 4
+    cfg.DATALOADER.TEST.BATCH_SIZE = 8
+    dm = DataManager(cfg)
+    batch = next(iter(dm.train_loader))
+    assert batch["image"].shape == (4, 16, 16, 3)
+    assert batch["label"].dtype == np.int32
+    batches = list(dm.test_loader)
+    assert sum(b["valid"].sum() for b in batches) == len(dm.dataset.test)
+    # deterministic: same loader config yields the same first batch
+    dm2 = DataManager(cfg)
+    b2 = next(iter(dm2.train_loader))
+    np.testing.assert_array_equal(batch["label"], b2["label"])
