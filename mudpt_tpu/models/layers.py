@@ -135,10 +135,12 @@ def resolve_block_impl() -> str:
 
 def residual_block(p, x: jax.Array, n_head: int, mask=None, causal=False) -> jax.Array:
     """One pre-LN residual block (reference clip/model.py:177-198)."""
-    # Pallas half-block kernels hold weights + intermediates in VMEM; the
-    # MLP half fits comfortably up to D=768 (ViT-B towers). Wider models
-    # (ViT-L: D=1024, 4D=4096 => ~22 MB) fall back to XLA until the kernel
-    # gains weight streaming (see docs/KERNELS.md limits).
+    # Pallas half-block kernels hold weights + intermediates in VMEM; they
+    # fit up to D=768 (the ViT-B towers this framework benchmarks).  Wider
+    # models (ViT-L: D=1024) fall back to XLA — a chunked-weight MLP kernel
+    # exists (ops/fused_block.mlp_halfblock_chunked, interpret-verified) but
+    # its ViT-L VMEM footprint still trips the TPU compiler; round-2 item
+    # (see docs/KERNELS.md limits).
     if (
         resolve_block_impl() == "pallas"
         and (mask is None or causal)

@@ -217,6 +217,147 @@ def _mlp_bwd_kernel(x_ref, ln_s, ln_b, fc_w, fc_b, proj_w, proj_b, g_ref,
 
 
 # ---------------------------------------------------------------------------
+# chunked mlp half-block (wide models: stream fc/proj in hidden-dim chunks)
+# ---------------------------------------------------------------------------
+#
+# For D=1024/4D=4096 (ViT-L) the monolithic MLP kernel's weights alone are
+# ~17 MB — over VMEM.  Grid (B, K) streams (D, CHUNK) fc columns and
+# (CHUNK, D) proj rows per step; the LN output is computed once per image
+# (k==0) into persistent scratch and the output accumulates across k.
+
+def _mlp_chunk_fwd_kernel(x_ref, ln_s, ln_b, fc_w, fc_b, proj_w, proj_b,
+                          y_ref, xn_ref):
+    k = pl.program_id(1)
+    x = x_ref[0]
+
+    @pl.when(k == 0)
+    def _():
+        xn, _, _ = _ln_fp32(x, ln_s[...], ln_b[...])
+        xn_ref[...] = xn.astype(x.dtype)
+        y_ref[0] = x + proj_b[...].astype(x.dtype)
+
+    h32 = jax.lax.dot_general(
+        xn_ref[...], fc_w[...].astype(x.dtype), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + fc_b[...].astype(jnp.float32)
+    a = _quick_gelu(h32).astype(x.dtype)
+    out = jax.lax.dot_general(
+        a, proj_w[...].astype(x.dtype), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    y_ref[0] = y_ref[0] + out
+
+
+def _mlp_chunk_bwd_kernel(x_ref, ln_s, ln_b, fc_w, fc_b, proj_w, proj_b,
+                          g_ref, dx_ref, xn_ref, dxn_ref):
+    k = pl.program_id(1)
+    n_k = pl.num_programs(1)
+    x = x_ref[0]
+    g = g_ref[0]
+
+    @pl.when(k == 0)
+    def _():
+        xn, _, _ = _ln_fp32(x, ln_s[...], ln_b[...])
+        xn_ref[...] = xn.astype(x.dtype)
+        dxn_ref[...] = jnp.zeros_like(dxn_ref)
+
+    h32 = jax.lax.dot_general(
+        xn_ref[...], fc_w[...].astype(x.dtype), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + fc_b[...].astype(jnp.float32)
+    da = jax.lax.dot_general(
+        g, proj_w[...].astype(g.dtype), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dh = da * _quick_gelu_grad(h32)
+    dxn_ref[...] = dxn_ref[...] + jax.lax.dot_general(
+        dh.astype(x.dtype), fc_w[...].astype(x.dtype),
+        (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(k == n_k - 1)
+    def _():
+        # recompute LN stats for the vjp (cheap; avoids extra scratch)
+        _, xhat, inv = _ln_fp32(x, ln_s[...], ln_b[...])
+        dx_ln = _ln_bwd_dx(dxn_ref[...], xhat, inv, ln_s[...])
+        dx_ref[0] = (g.astype(jnp.float32) + dx_ln).astype(dx_ref.dtype)
+
+
+def _pick_chunk(dh: int, d: int) -> int:
+    # keep (d, chunk)+(chunk, d) weights + two (S, chunk) fp32 buffers within
+    # VMEM: chunk 2048 fits at d<=768, 1024 at d<=1024
+    max_chunk = 2048 if d <= 768 else 1024
+    for c in (2048, 1536, 1024, 512):
+        if c <= max_chunk and dh % c == 0:
+            return c
+    return dh
+
+
+def _call_mlp_chunked(kernel, x, params, extra, out_shapes, scratch):
+    B, S, D = x.shape
+    Dh = params[2].shape[1]
+    chunk = _pick_chunk(Dh, D)
+    K = Dh // chunk
+    specs = [
+        pl.BlockSpec((1, S, D), lambda i, k: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((D,), lambda i, k: (0,), memory_space=pltpu.VMEM),
+        pl.BlockSpec((D,), lambda i, k: (0,), memory_space=pltpu.VMEM),
+        pl.BlockSpec((D, chunk), lambda i, k: (0, k), memory_space=pltpu.VMEM),
+        pl.BlockSpec((chunk,), lambda i, k: (k,), memory_space=pltpu.VMEM),
+        pl.BlockSpec((chunk, D), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((D,), lambda i, k: (0,), memory_space=pltpu.VMEM),
+    ] + [
+        pl.BlockSpec((1, S, D), lambda i, k: (i, 0, 0), memory_space=pltpu.VMEM)
+        for _ in extra
+    ]
+    out_spec = pl.BlockSpec(
+        (1, S, D), lambda i, k: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(B, K),
+        in_specs=specs,
+        out_specs=jax.tree_util.tree_map(lambda _: out_spec, out_shapes),
+        out_shape=out_shapes,
+        scratch_shapes=scratch,
+        interpret=jax.default_backend() != "tpu",
+    )(x, *params, *extra)
+
+
+@jax.custom_vjp
+def mlp_halfblock_chunked(x, ln_s, ln_b, fc_w, fc_b, proj_w, proj_b):
+    """Chunked-weight variant of :func:`mlp_halfblock` for wide models."""
+    y, _ = _mlp_chunk_fwd(x, ln_s, ln_b, fc_w, fc_b, proj_w, proj_b)
+    return y
+
+
+def _mlp_chunk_fwd(x, ln_s, ln_b, fc_w, fc_b, proj_w, proj_b):
+    B, S, D = x.shape
+    params = (ln_s, ln_b, fc_w, fc_b, proj_w, proj_b)
+    y = _call_mlp_chunked(
+        _mlp_chunk_fwd_kernel, x, params, (),
+        jax.ShapeDtypeStruct((B, S, D), x.dtype),
+        [pltpu.VMEM((S, D), x.dtype)],
+    )
+    return y, (x, params)
+
+
+def _mlp_chunk_bwd(res, g):
+    x, params = res
+    B, S, D = x.shape
+    dx = _call_mlp_chunked(
+        _mlp_chunk_bwd_kernel, x, params, (g,),
+        jax.ShapeDtypeStruct((B, S, D), x.dtype),
+        [pltpu.VMEM((S, D), x.dtype), pltpu.VMEM((S, D), jnp.float32)],
+    )
+    zeros = tuple(jnp.zeros_like(p) for p in params)
+    return (dx, *zeros)
+
+
+mlp_halfblock_chunked.defvjp(_mlp_chunk_fwd, _mlp_chunk_bwd)
+
+
+# ---------------------------------------------------------------------------
 # pallas_call plumbing + custom VJPs
 # ---------------------------------------------------------------------------
 

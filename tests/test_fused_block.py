@@ -124,3 +124,32 @@ def test_full_tower_pallas_block_matches_xla():
     np.testing.assert_allclose(
         np.asarray(grad_p), np.asarray(grad_x), rtol=5e-4, atol=5e-4
     )
+
+
+def test_chunked_mlp_halfblock_matches():
+    """Chunked-weight MLP kernel (wide-model path) == reference, fwd + dx."""
+    from mudpt_tpu.ops.fused_block import mlp_halfblock_chunked
+
+    rng = np.random.RandomState(3)
+    D, S = 256, 24  # Dh=1024 -> chunks of 512
+    p = _params(rng, D)
+    x = jnp.asarray(rng.randn(2, S, D), jnp.float32)
+
+    def ref(x):
+        return x + mlp(p["mlp"], layer_norm(p["ln_2"], x))
+
+    def fused(x):
+        return mlp_halfblock_chunked(
+            x, p["ln_2"]["scale"], p["ln_2"]["bias"],
+            p["mlp"]["fc_w"], p["mlp"]["fc_b"],
+            p["mlp"]["proj_w"], p["mlp"]["proj_b"],
+        )
+
+    np.testing.assert_allclose(
+        np.asarray(fused(x)), np.asarray(ref(x)), rtol=2e-5, atol=2e-5
+    )
+    g_ref = jax.grad(lambda x: jnp.sum(ref(x) ** 2))(x)
+    g_fus = jax.grad(lambda x: jnp.sum(fused(x) ** 2))(x)
+    np.testing.assert_allclose(
+        np.asarray(g_fus), np.asarray(g_ref), rtol=5e-4, atol=5e-4
+    )
