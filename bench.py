@@ -9,11 +9,30 @@ backbone, n_ctx=2, deep prompt depth 9, n_cls classes re-encoded every step
   {"metric": "...", "value": N, "unit": "images/sec/chip", "vs_baseline": R}
 
 ``vs_baseline`` is value / A100_BASELINE_IPS.  The reference publishes no
-numbers (BASELINE.md), so the baseline constant is an engineering estimate
-of PyTorch MuDPT on one A100-80G at a throughput-optimal batch size:
-ViT-B/16 fwd+bwd (~50 GFLOP/img with the frozen-weight backward) plus the
-per-step n_cls x 77-token text tower, at ~40% MFU => ~850 img/s.  The
-BASELINE.json north star is >=2x that per chip.
+numbers (BASELINE.md), so the baseline is an estimate of PyTorch MuDPT on
+one A100-80G SXM (312 TF/s fp16 dense peak), derived two independent ways
+and documented as a bracket in BASELINE.md's addendum:
+
+  (1) analytic: this workload costs ~81 GFLOP/img (fwd + dx-only backward,
+      vision tower 199 tokens + the per-step n_cls x 77 text tower); eager
+      PyTorch transformer training typically lands at 25-40% MFU on A100
+      => 960-1530 img/s at a throughput-optimal batch;
+  (2) published ViT-B/16 A100 AMP full-finetune throughputs (~900-1100
+      img/s, e.g. timm benchmarks) rescaled by the FLOP ratio of a full
+      backward (~2.9x fwd, + optimizer) to this frozen-backbone step
+      (~2.2x fwd + text tower) => ~1050-1380 img/s;
+  while the reference AS SHIPPED trains at batch 4 (latency-bound,
+  single-digit MFU) => ~150-400 img/s.
+
+The pinned 850 sits between as-shipped and fully-tuned (~26% MFU at
+optimal batch) and is kept as the denominator every round for
+comparability; the bracket above bounds its honesty.  The BASELINE.json
+north star is >=2x it per chip.
+
+The JSON reports BOTH FLOP accountings so 'hardware utilization' is never
+read as MFU: ``model_*`` counts algorithmic FLOPs only (fwd + dx-only
+backward, no recompute); ``exec_*`` counts executed FLOPs including
+backward rematerialization.
 """
 
 from __future__ import annotations
@@ -28,7 +47,9 @@ A100_BASELINE_IPS = 850.0
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--model", choices=["ViT-B/16", "ViT-L/14"],
+                    default="ViT-B/16")
+    ap.add_argument("--batch", type=int, default=384)
     ap.add_argument("--n-cls", type=int, default=100)
     ap.add_argument("--n-ctx", type=int, default=2)
     ap.add_argument("--depth", type=int, default=9)
@@ -56,7 +77,12 @@ def main() -> None:
     import numpy as np
     import optax
 
-    from mudpt_tpu.models.clip import VIT_B16, cast_matmul_weights, init_clip_params
+    from mudpt_tpu.models.clip import (
+        VIT_B16,
+        VIT_L14,
+        cast_matmul_weights,
+        init_clip_params,
+    )
     from mudpt_tpu.trainers.mudpt import mudpt_forward
     from mudpt_tpu.trainers.prompt_utils import (
         embed_classnames,
@@ -66,7 +92,7 @@ def main() -> None:
     from mudpt_tpu.utils.rng import new_rng
     import functools
 
-    clip_cfg = VIT_B16
+    clip_cfg = VIT_B16 if args.model == "ViT-B/16" else VIT_L14
     params = cast_matmul_weights(init_clip_params(new_rng(0), clip_cfg), jnp.bfloat16)
 
     classnames = [f"object number {i}" for i in range(args.n_cls)]
@@ -151,36 +177,68 @@ def main() -> None:
             step_flops = float(ca.get("flops", 0)) or None
         except Exception:
             pass
+    def tower_fwd_flops(n_seq, n_layers, d, rows):
+        per_tok_layer = (12 * d * d + 4 * n_seq * d) * 2
+        return per_tok_layer * n_seq * n_layers * rows
+
+    def tower_bwd_dx_flops(n_seq, n_layers, d, rows):
+        # dx-only backward (frozen weights): every linear costs its forward
+        # again (dy @ W^T); the two S-wide head matmuls cost 2x (dq,dk / dp,dv)
+        per_tok_layer = (12 * d * d + 8 * n_seq * d) * 2
+        return per_tok_layer * n_seq * n_layers * rows
+
+    n_patch = (clip_cfg.image_resolution // clip_cfg.vision_patch_size) ** 2
+    vis_seq = n_patch + 1 + args.n_ctx
+    img_fwd = tower_fwd_flops(
+        vis_seq, clip_cfg.vision_layers, clip_cfg.vision_width, args.batch
+    )
+    txt_fwd = tower_fwd_flops(
+        77, clip_cfg.transformer_layers, clip_cfg.transformer_width, args.n_cls
+    )
+    img_bwd = tower_bwd_dx_flops(
+        vis_seq, clip_cfg.vision_layers, clip_cfg.vision_width, args.batch
+    )
+    txt_bwd = tower_bwd_dx_flops(
+        77, clip_cfg.transformer_layers, clip_cfg.transformer_width, args.n_cls
+    )
+    model_flops = img_fwd + txt_fwd + img_bwd + txt_bwd
+
     if step_flops is None:
-        def tower_fwd_flops(n_seq, n_layers, d, rows):
-            per_tok_layer = (12 * d * d + 4 * n_seq * d) * 2
-            return per_tok_layer * n_seq * n_layers * rows
-
-        img_fwd = tower_fwd_flops(199, 12, 768, args.batch)
-        txt_fwd = tower_fwd_flops(77, 12, 512, args.n_cls)
         from mudpt_tpu.models import transformer as _T
+        from mudpt_tpu.ops import fused_block as _FB
 
-        # fwd + ~1.2x dx-only backward (frozen backbone => no dW).
-        # +1x recompute when blocks rematerialize: always for the pallas
-        # kernels (in-kernel recompute), under full remat for XLA blocks.
-        recompute = _rbi() == "pallas" or _T._REMAT_MODE != "none"
-        mult = 3.2 if recompute else 2.2
-        step_flops = mult * (img_fwd + txt_fwd)
+        # executed = model + forward recompute where blocks rematerialize:
+        # pallas kernels recompute in-kernel whatever the fwd didn't save
+        # (the save-backward applies only at tower width <= 768; wider
+        # towers take the full in-kernel recompute — ops/fused_block.py),
+        # XLA blocks recompute the whole forward under full remat
+        if _rbi() == "pallas":
+            frac = getattr(_FB, "SAVED_FWD_FRACTION", 0.0)
+            vis_frac = frac if clip_cfg.vision_width <= 768 else 0.0
+            txt_frac = frac if clip_cfg.transformer_width <= 768 else 0.0
+            recompute = img_fwd * (1.0 - vis_frac) + txt_fwd * (1.0 - txt_frac)
+        else:
+            recompute = (img_fwd + txt_fwd) if _T._REMAT_MODE != "none" else 0.0
+        step_flops = model_flops + recompute
     achieved = step_flops * args.steps / dt
+    model_achieved = model_flops * args.steps / dt
     peak = float(os.environ.get("TPU_PEAK_FLOPS", 197e12))  # v5e bf16
 
     print(
         json.dumps(
             {
                 "metric": (
-                    "MuDPT ViT-B/16 prompt-tuning train throughput "
+                    f"MuDPT {args.model} prompt-tuning train throughput "
                     f"(bf16, batch {args.batch}, n_cls {args.n_cls}, depth {args.depth})"
                 ),
                 "value": round(ips, 2),
                 "unit": "images/sec/chip",
                 "vs_baseline": round(ips / A100_BASELINE_IPS, 3),
-                # executed FLOPs (incl. backward recompute) — hardware
-                # utilization, not algorithmic MFU
+                # model_* = algorithmic FLOPs (fwd + dx-only bwd, no
+                # recompute): the honest MFU.  exec_* = executed FLOPs incl.
+                # backward rematerialization: hardware utilization.
+                "model_tflops_per_sec": round(model_achieved / 1e12, 2),
+                "model_mfu": round(model_achieved / peak, 3),
                 "exec_tflops_per_sec": round(achieved / 1e12, 2),
                 "hw_utilization": round(achieved / peak, 3),
             }

@@ -51,16 +51,6 @@ def linear(p, x: jax.Array) -> jax.Array:
     return jnp.dot(x, p["w"].astype(x.dtype)) + p["b"].astype(x.dtype)
 
 
-_ATTENTION_IMPL = os.environ.get("MUDPT_TPU_ATTENTION", "xla")
-
-
-def set_attention_impl(name: str) -> None:
-    """'xla' (einsum softmax, default) or 'pallas' (fused VMEM kernel)."""
-    global _ATTENTION_IMPL
-    assert name in ("xla", "pallas"), name
-    _ATTENTION_IMPL = name
-
-
 def attention(
     p,
     x: jax.Array,
@@ -84,23 +74,18 @@ def attention(
     k = k.transpose(0, 2, 1, 3)
     v = v.transpose(0, 2, 1, 3)
 
-    if _ATTENTION_IMPL == "pallas" and (mask is None or causal):
-        from mudpt_tpu.ops.flash_attention import fused_attention
-
-        out = fused_attention(q, k, v, causal)
-    else:
-        scale = head_dim ** -0.5
-        scores = jnp.einsum(
-            "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
-        ) * scale
-        if mask is not None:
-            scores = scores + mask.astype(jnp.float32)
-        # named for the selective remat policy: the (B,H,S,S) fp32 score/prob
-        # tensors are the memory hogs — recomputed in backward, never stored
-        scores = checkpoint_name(scores, "attn_scores")
-        probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
-        probs = checkpoint_name(probs, "attn_probs")
-        out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+    scale = head_dim ** -0.5
+    scores = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    if mask is not None:
+        scores = scores + mask.astype(jnp.float32)
+    # named for the selective remat policy: the (B,H,S,S) fp32 score/prob
+    # tensors are the memory hogs — recomputed in backward, never stored
+    scores = checkpoint_name(scores, "attn_scores")
+    probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+    probs = checkpoint_name(probs, "attn_probs")
+    out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
     out = out.transpose(0, 2, 1, 3).reshape(B, S, D)
     return jnp.dot(out, p["out_w"].astype(x.dtype)) + p["out_b"].astype(x.dtype)
 
@@ -112,6 +97,27 @@ def mlp(p, x: jax.Array) -> jax.Array:
 
 
 _BLOCK_IMPL = os.environ.get("MUDPT_TPU_BLOCK", "auto")
+
+# Platform the model computation actually targets.  'auto' impl selection
+# must NOT consult jax.default_backend() alone: with a TPU PJRT plugin
+# registered (sitecustomize), the default backend says "tpu" even when the
+# mesh in use is built from virtual CPU devices — which round 1's driver
+# check hit as "Only interpret mode is supported on CPU backend".  Trainers
+# record their mesh's device platform here (trainers/base.py).
+_PLATFORM_HINT: Optional[str] = None
+
+
+def set_platform_hint(platform: Optional[str]) -> None:
+    """Record the platform ('tpu'/'cpu'/...) of the devices the model will
+    run on; overrides jax.default_backend() for 'auto' impl selection."""
+    global _PLATFORM_HINT
+    _PLATFORM_HINT = platform
+
+
+def target_platform() -> str:
+    if _PLATFORM_HINT is not None:
+        return _PLATFORM_HINT
+    return jax.default_backend()
 
 
 def set_block_impl(name: str) -> None:
@@ -129,24 +135,25 @@ def set_block_impl(name: str) -> None:
 
 def resolve_block_impl() -> str:
     if _BLOCK_IMPL == "auto":
-        return "pallas" if jax.default_backend() == "tpu" else "xla"
+        return "pallas" if target_platform() == "tpu" else "xla"
     return _BLOCK_IMPL
 
 
 def residual_block(p, x: jax.Array, n_head: int, mask=None, causal=False) -> jax.Array:
     """One pre-LN residual block (reference clip/model.py:177-198)."""
-    # Pallas half-block kernels hold weights + intermediates in VMEM; they
-    # fit up to D=768 (the ViT-B towers this framework benchmarks).  Wider
-    # models (ViT-L: D=1024) fall back to XLA — a chunked-weight MLP kernel
-    # exists (ops/fused_block.mlp_halfblock_chunked, interpret-verified) but
-    # its ViT-L VMEM footprint still trips the TPU compiler; round-2 item
-    # (see docs/KERNELS.md limits).
-    if (
-        resolve_block_impl() == "pallas"
-        and (mask is None or causal)
-        and x.shape[-1] <= 768
-    ):
-        from mudpt_tpu.ops.fused_block import attn_halfblock, mlp_halfblock
+    # Pallas half-block kernels hold weights + intermediates in VMEM.  Up to
+    # D=768 (ViT-B) both halves run monolithic; at D<=1024 (ViT-L/14) the
+    # attention half still fits but the MLP weights alone are ~17 MB, so the
+    # MLP half streams its fc/proj weights in hidden-dim chunks
+    # (ops/fused_block.mlp_halfblock_chunked — measured on-chip at D=1024,
+    # docs/BENCHMARKS.md).  Wider than 1024 falls back to XLA.
+    D = x.shape[-1]
+    if resolve_block_impl() == "pallas" and (mask is None or causal) and D <= 1024:
+        from mudpt_tpu.ops.fused_block import (
+            attn_halfblock,
+            mlp_halfblock,
+            mlp_halfblock_chunked,
+        )
 
         x = attn_halfblock(
             x,
@@ -155,7 +162,8 @@ def residual_block(p, x: jax.Array, n_head: int, mask=None, causal=False) -> jax
             p["attn"]["out_w"], p["attn"]["out_b"],
             n_head, causal,
         )
-        return mlp_halfblock(
+        mlp_fn = mlp_halfblock if D <= 768 else mlp_halfblock_chunked
+        return mlp_fn(
             x,
             p["ln_2"]["scale"], p["ln_2"]["bias"],
             p["mlp"]["fc_w"], p["mlp"]["fc_b"],

@@ -30,6 +30,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from mudpt_tpu.models.layers import residual_block
 
@@ -44,18 +45,20 @@ from mudpt_tpu.models.layers import residual_block
 #               cost more than recompute) — kept for experimentation
 _REMAT_MODE = os.environ.get("MUDPT_TPU_REMAT", "none")
 
-# scan unroll factor.  "auto": with XLA blocks, full unroll (+24%: removes
-# scan activation-stacking DUS + while overhead); with Pallas fused blocks,
-# keep the rolled scan (the custom_vjp saves only x per layer, so stacking
-# is cheap, and 12x fewer custom calls keeps the compiler happy).
+# scan unroll factor.  "auto" = full unroll for BOTH block impls: it removes
+# the while-loop overhead and — decisively for the save-activations Pallas
+# backward — the scan's residual-stacking dynamic-update-slice copies
+# (round 2: rolled scan + saved qkv/h regressed to 1242 img/s because every
+# saved activation was copied again into the stacked (L, ...) residual
+# buffer; unrolled, the kernels' outputs ARE the residuals: 1680 img/s).
+# Round 1's ">24 pallas custom calls crash the remote compile helper" no
+# longer reproduces (a 96-call program compiles fine).
 _SCAN_UNROLL = os.environ.get("MUDPT_TPU_SCAN_UNROLL", "auto")
 
 
 def _resolve_unroll() -> int:
     if _SCAN_UNROLL == "auto":
-        from mudpt_tpu.models.layers import resolve_block_impl
-
-        return 1 if resolve_block_impl() == "pallas" else 12
+        return 12
     return int(_SCAN_UNROLL)
 
 
@@ -92,7 +95,10 @@ def make_injection_schedule(
             (num_layers - prompts.shape[0], n_ctx, dim), deep_prompts.dtype
         )
         prompts = jnp.concatenate([prompts, tail], axis=0)
-    layer_ids = jnp.arange(num_layers)
+    # STATIC (numpy) mask: which layers splice is shape information, known
+    # at trace time — the unrolled path turns it into plain Python branches
+    # (no select_n on the full activation tensor; 10 ms/step at batch 384)
+    layer_ids = np.arange(num_layers)
     mask = (layer_ids >= first_layer) & (layer_ids < first_layer + depth_m1)
     return prompts, mask
 
@@ -135,12 +141,43 @@ def transformer_forward(
     step doesn't fit 16 GB HBM un-rematted).  Backward recomputes just the
     score einsum + softmax (~2% of forward FLOPs) instead of whole blocks.
     """
+    num_layers = jax.tree_util.tree_leaves(stacked_params)[0].shape[0]
+    unroll = _resolve_unroll()
+
+    if unroll >= num_layers and (
+        prompts is None or isinstance(prompt_mask, np.ndarray)
+    ):
+        # Fully-unrolled static path: the per-layer splice decision is a
+        # Python branch (no full-tensor select_n), the splice writes only
+        # the n_ctx prompt rows, and the Pallas kernels' saved activations
+        # are the backward residuals directly (no scan-stacking copies).
+        def one_layer(h, l):
+            if prompts is not None and bool(prompt_mask[l]):
+                p = prompts[l].astype(h.dtype)
+                B = h.shape[0]
+                rows = jnp.broadcast_to(p[None], (B, n_ctx, h.shape[-1]))
+                if is_text:
+                    h = jax.lax.dynamic_update_slice_in_dim(h, rows, 1, axis=1)
+                else:
+                    h = jax.lax.dynamic_update_slice_in_dim(
+                        h, rows, h.shape[1] - n_ctx, axis=1
+                    )
+            lp = jax.tree_util.tree_map(lambda a: a[l], stacked_params)
+            return residual_block(lp, h, n_head, mask, causal)
+
+        if remat and _REMAT_MODE != "none":
+            one_layer = jax.checkpoint(one_layer, static_argnums=(1,))
+        for l in range(num_layers):
+            x = one_layer(x, l)
+        return x
+
     if prompts is None:
         def body(h, layer_params):
             h = residual_block(layer_params, h, n_head, mask, causal)
             return h, None
     else:
         splice = splice_text if is_text else splice_visual
+        prompt_mask = jnp.asarray(prompt_mask)
 
         def body(h, scanned):
             layer_params, prompt, use = scanned
@@ -162,5 +199,5 @@ def transformer_forward(
         if prompts is None
         else (stacked_params, prompts, prompt_mask)
     )
-    x, _ = jax.lax.scan(body, x, xs, unroll=_resolve_unroll())
+    x, _ = jax.lax.scan(body, x, xs, unroll=min(unroll, num_layers))
     return x

@@ -1,3 +1,13 @@
-from mudpt_tpu.ops.flash_attention import fused_attention
+from mudpt_tpu.ops.fused_block import (
+    attn_halfblock,
+    mlp_halfblock,
+    mlp_halfblock_chunked,
+    set_save_acts,
+)
 
-__all__ = ["fused_attention"]
+__all__ = [
+    "attn_halfblock",
+    "mlp_halfblock",
+    "mlp_halfblock_chunked",
+    "set_save_acts",
+]

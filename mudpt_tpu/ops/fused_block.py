@@ -8,10 +8,20 @@ VMEM-resident Pallas program in both directions:
   attention half:  y = x + out_proj(MHA(LN_fp32(x)))
   mlp half:        y = x + proj(QuickGELU(fc(LN_fp32(x))))
 
-Forward keeps every intermediate (LN stats, QKV, per-head softmax, GELU
-pre-activations) in VMEM; backward recomputes them in-kernel (only x is
-saved) and emits dx.  Measured on TPU v5e: the attention half runs ~3x
-faster than the equivalent XLA segment (docs/BENCHMARKS.md).
+Two backward strategies, selected by :func:`set_save_acts`
+(``MUDPT_TPU_SAVE_ACTS``):
+
+  * **save-activations (default)** — forward additionally writes the QKV
+    projection (attention half) and the MLP pre-activation (mlp half) to
+    HBM; backward skips their recompute, re-deriving only the cheap pieces
+    (LN statistics from x on the VPU; the per-head softmax from saved q/k —
+    bit-identical to forward since both start from the same bf16 qkv).
+    This removes the two big recompute matmuls (the 3·D² QKV projection and
+    the 4·D² MLP fc), ~55% of forward FLOPs, from the backward pass, at
+    ~2.1 MB/image/layer of HBM traffic that pipelines behind the compute.
+  * **recompute** — forward saves only x; backward replays the forward
+    in-kernel.  Minimum-memory mode for batch sizes where the saved
+    activations would not fit HBM.
 
 Gradients w.r.t. the block weights are ZERO by construction — these ops are
 only legal under a frozen backbone (the prompt-tuning regime; prompt tokens
@@ -23,7 +33,9 @@ The causal text mask is handled with a static flag (mask built in-kernel).
 
 from __future__ import annotations
 
+import contextlib
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -31,6 +43,56 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _NEG = -1e30
+
+# The Mosaic default scoped-VMEM cap is 16 MB; the chip has far more.  The
+# D=1024 (ViT-L) kernels sit just above the default (16.2-17.1 MB measured),
+# so raise the cap — the compiler still errors if a kernel genuinely
+# exceeds physical VMEM.
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+
+# Forward-FLOPs fraction the backward does NOT have to recompute.  In
+# save-activations mode only the per-head score matmul + softmax are
+# re-derived (~4% of forward); in recompute mode the whole forward replays.
+# Consumed by bench.py's executed-FLOPs accounting.
+_SAVE_ACTS = os.environ.get("MUDPT_TPU_SAVE_ACTS", "1") != "0"
+SAVED_FWD_FRACTION = 0.96 if _SAVE_ACTS else 0.0
+
+
+def set_save_acts(on: bool) -> None:
+    """Toggle the save-activations backward (see module docstring)."""
+    global _SAVE_ACTS, SAVED_FWD_FRACTION
+    _SAVE_ACTS = bool(on)
+    SAVED_FWD_FRACTION = 0.96 if _SAVE_ACTS else 0.0
+
+
+def save_acts_enabled() -> bool:
+    return _SAVE_ACTS
+
+
+@contextlib.contextmanager
+def saved_acts(on: bool):
+    """Trace-time scope for the backward strategy.  Values are unaffected
+    (both modes compute identical forwards); only what forward stores for
+    backward changes — e.g. CoCoOp's chunked per-instance text encode runs
+    with saves OFF, where storing qkv/h for chunk·n_cls sequences would
+    dwarf the recompute cost (trainers/cocoop.py)."""
+    prev = _SAVE_ACTS
+    set_save_acts(on)
+    try:
+        yield
+    finally:
+        set_save_acts(prev)
+
+
+def _interpret() -> bool:
+    """Interpret-mode fallback for non-TPU targets (unit tests on CPU).
+
+    Decided from the trainer-recorded target platform, not
+    ``jax.default_backend()`` — a registered TPU plugin must not force
+    compiled Mosaic kernels onto a CPU device mesh."""
+    from mudpt_tpu.models.layers import target_platform
+
+    return target_platform() != "tpu"
 
 
 def _ln_fp32(x, scale, bias, eps=1e-5):
@@ -51,75 +113,126 @@ def _ln_bwd_dx(dxn, xhat, inv, scale):
     return (g - gm - xhat * gx) * inv
 
 
-def _attn_heads(qkv, n_head, D, scale, causal, dtype):
-    """Per-head softmax attention; returns list of (o, p, q, k, v)."""
-    S = qkv.shape[0]
-    hd = D // n_head
-    outs = []
-    mask = None
-    if causal:
-        row = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
-        col = jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
-        mask = jnp.where(col > row, jnp.float32(_NEG), 0.0)
-    for h in range(n_head):
-        q = qkv[:, h * hd : (h + 1) * hd]
-        k = qkv[:, D + h * hd : D + (h + 1) * hd]
-        v = qkv[:, 2 * D + h * hd : 2 * D + (h + 1) * hd]
-        scores = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale
-        if mask is not None:
-            scores = scores + mask
-        p = jax.nn.softmax(scores, axis=-1)
-        o = jax.lax.dot_general(
-            p.astype(dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        outs.append((o, p, q, k, v))
-    return outs
+def _causal_mask(S):
+    row = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
+    return jnp.where(col > row, jnp.float32(_NEG), 0.0)
+
+
+def _head_qkv(qkv, D, hd, h):
+    q = qkv[:, h * hd : (h + 1) * hd]
+    k = qkv[:, D + h * hd : D + (h + 1) * hd]
+    v = qkv[:, 2 * D + h * hd : 2 * D + (h + 1) * hd]
+    return q, k, v
+
+
+def _head_probs(q, k, scale, mask):
+    """fp32 softmax(q k^T * scale + mask): identical in forward and in the
+    backward's re-derivation because both consume the same bf16 q/k."""
+    scores = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    if mask is not None:
+        scores = scores + mask
+    return jax.nn.softmax(scores, axis=-1)
+
+
+def _head_grads(p, q, k, v, do, scale, dtype):
+    """dq, dk, dv of one softmax-attention head.
+
+    Matmul OPERANDS are cast to the activation dtype (bf16 on the training
+    path — the MXU's full-rate format; fp32 operands run at a fraction of
+    peak) with fp32 accumulation; the softmax gradient itself stays fp32 on
+    the VPU.  This matches XLA's own mixed-precision attention backward."""
+    p_lo = p.astype(dtype)
+    do_lo = do.astype(dtype)
+    dp = jax.lax.dot_general(                # do @ v^T  -> (S, S) fp32
+        do_lo, v, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dv = jax.lax.dot_general(                # p^T @ do
+        p_lo, do_lo, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True)) * scale
+    ds_lo = ds.astype(dtype)
+    dq = jax.lax.dot_general(
+        ds_lo, k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dk = jax.lax.dot_general(
+        ds_lo, q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return dq, dk, dv
 
 
 # ---------------------------------------------------------------------------
 # attention half-block
 # ---------------------------------------------------------------------------
 
+def _attn_project(x, ln_s, ln_b, qkv_w, qkv_b):
+    xn, _, _ = _ln_fp32(x, ln_s[...], ln_b[...])
+    xn = xn.astype(x.dtype)
+    return jax.lax.dot_general(
+        xn, qkv_w[...].astype(x.dtype), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype) + qkv_b[...].astype(x.dtype)
+
+
+def _attn_finish(x, acc, out_w, out_b):
+    attn_out = jax.lax.dot_general(
+        acc.astype(x.dtype), out_w[...].astype(x.dtype),
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    ).astype(x.dtype) + out_b[...].astype(x.dtype)
+    return x + attn_out
+
+
 def _attn_fwd_kernel(x_ref, ln_s, ln_b, qkv_w, qkv_b, out_w, out_b, y_ref,
                      acc_ref, *, n_head, causal):
     x = x_ref[0]
     S, D = x.shape
-    xn, _, _ = _ln_fp32(x, ln_s[...], ln_b[...])
-    xn = xn.astype(x.dtype)
-    qkv = jax.lax.dot_general(
-        xn, qkv_w[...].astype(x.dtype), (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype) + qkv_b[...].astype(x.dtype)
     hd = D // n_head
-    for h, (o, _, _, _, _) in enumerate(
-        _attn_heads(qkv, n_head, D, hd ** -0.5, causal, x.dtype)
-    ):
+    qkv = _attn_project(x, ln_s, ln_b, qkv_w, qkv_b)
+    mask = _causal_mask(S) if causal else None
+    for h in range(n_head):
+        q, k, v = _head_qkv(qkv, D, hd, h)
+        p = _head_probs(q, k, hd ** -0.5, mask)
+        o = jax.lax.dot_general(
+            p.astype(x.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
         acc_ref[:, h * hd : (h + 1) * hd] = o.astype(acc_ref.dtype)
-    attn_out = jax.lax.dot_general(
-        acc_ref[...].astype(x.dtype), out_w[...].astype(x.dtype),
-        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-    ).astype(x.dtype) + out_b[...].astype(x.dtype)
-    y_ref[0] = x + attn_out
+    y_ref[0] = _attn_finish(x, acc_ref[...], out_w, out_b)
 
 
-def _attn_bwd_kernel(x_ref, ln_s, ln_b, qkv_w, qkv_b, out_w, out_b, g_ref,
-                     dx_ref, dqkv_ref, *, n_head, causal):
-    """Recompute forward, then dx only (weights frozen)."""
+def _attn_fwd_save_kernel(x_ref, ln_s, ln_b, qkv_w, qkv_b, out_w, out_b,
+                          y_ref, qkv_ref, acc_ref, *, n_head, causal):
+    """Forward that additionally stores the bf16 QKV projection."""
     x = x_ref[0]
-    g = g_ref[0]
+    S, D = x.shape
+    hd = D // n_head
+    qkv = _attn_project(x, ln_s, ln_b, qkv_w, qkv_b)
+    qkv_ref[0] = qkv
+    mask = _causal_mask(S) if causal else None
+    for h in range(n_head):
+        q, k, v = _head_qkv(qkv, D, hd, h)
+        p = _head_probs(q, k, hd ** -0.5, mask)
+        o = jax.lax.dot_general(
+            p.astype(x.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_ref[:, h * hd : (h + 1) * hd] = o.astype(acc_ref.dtype)
+    y_ref[0] = _attn_finish(x, acc_ref[...], out_w, out_b)
+
+
+def _attn_bwd_core(x, qkv, g, ln_s, ln_b, qkv_w, out_w, dqkv_ref, *,
+                   n_head, causal):
+    """dx given the (saved or recomputed) QKV projection."""
     S, D = x.shape
     hd = D // n_head
     scale = hd ** -0.5
-
-    xn32, xhat, inv = _ln_fp32(x, ln_s[...], ln_b[...])
-    xn = xn32.astype(x.dtype)
-    qkv = jax.lax.dot_general(
-        xn, qkv_w[...].astype(x.dtype), (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype) + qkv_b[...].astype(x.dtype)
+    mask = _causal_mask(S) if causal else None
 
     # d(attn pre-out) = g @ out_w^T  (contract output dim)
     d_acc = jax.lax.dot_general(
@@ -127,25 +240,11 @@ def _attn_bwd_kernel(x_ref, ln_s, ln_b, qkv_w, qkv_b, out_w, out_b, g_ref,
         preferred_element_type=jnp.float32,
     )  # (S, D) fp32
 
-    heads = _attn_heads(qkv, n_head, D, scale, causal, x.dtype)
-    for h, (_, p, q, k, v) in enumerate(heads):
-        do = d_acc[:, h * hd : (h + 1) * hd].astype(jnp.float32)
-        vf = v.astype(jnp.float32)
-        dp = jax.lax.dot_general(            # do @ v^T
-            do, vf, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        dv = jax.lax.dot_general(            # p^T @ do
-            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True)) * scale
-        dq = jax.lax.dot_general(
-            ds, k.astype(jnp.float32), (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        dk = jax.lax.dot_general(
-            ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+    for h in range(n_head):
+        q, k, v = _head_qkv(qkv, D, hd, h)
+        p = _head_probs(q, k, scale, mask)
+        do = d_acc[:, h * hd : (h + 1) * hd]
+        dq, dk, dv = _head_grads(p, q, k, v, do, scale, x.dtype)
         dqkv_ref[:, h * hd : (h + 1) * hd] = dq.astype(dqkv_ref.dtype)
         dqkv_ref[:, D + h * hd : D + (h + 1) * hd] = dk.astype(dqkv_ref.dtype)
         dqkv_ref[:, 2 * D + h * hd : 2 * D + (h + 1) * hd] = dv.astype(
@@ -153,11 +252,33 @@ def _attn_bwd_kernel(x_ref, ln_s, ln_b, qkv_w, qkv_b, out_w, out_b, g_ref,
         )
 
     dxn = jax.lax.dot_general(               # dqkv @ qkv_w^T
-        dqkv_ref[...], qkv_w[...].astype(jnp.float32),
+        dqkv_ref[...].astype(x.dtype), qkv_w[...].astype(x.dtype),
         (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
     )
+    _, xhat, inv = _ln_fp32(x, ln_s[...], ln_b[...])  # VPU-only recompute
     dx_ln = _ln_bwd_dx(dxn, xhat, inv, ln_s[...])
-    dx_ref[0] = (g.astype(jnp.float32) + dx_ln).astype(dx_ref.dtype)
+    return (g.astype(jnp.float32) + dx_ln).astype(x.dtype)
+
+
+def _attn_bwd_kernel(x_ref, ln_s, ln_b, qkv_w, qkv_b, out_w, out_b, g_ref,
+                     dx_ref, dqkv_ref, *, n_head, causal):
+    """Recompute the QKV projection, then dx only (weights frozen)."""
+    x = x_ref[0]
+    qkv = _attn_project(x, ln_s, ln_b, qkv_w, qkv_b)
+    dx_ref[0] = _attn_bwd_core(
+        x, qkv, g_ref[0], ln_s, ln_b, qkv_w, out_w, dqkv_ref,
+        n_head=n_head, causal=causal,
+    )
+
+
+def _attn_bwd_save_kernel(x_ref, ln_s, ln_b, qkv_w, qkv_b, out_w, out_b,
+                          qkv_saved, g_ref, dx_ref, dqkv_ref, *, n_head,
+                          causal):
+    """dx from the forward-saved QKV projection (no projection recompute)."""
+    dx_ref[0] = _attn_bwd_core(
+        x_ref[0], qkv_saved[0], g_ref[0], ln_s, ln_b, qkv_w, out_w,
+        dqkv_ref, n_head=n_head, causal=causal,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -173,17 +294,21 @@ def _quick_gelu_grad(h):
     return s + 1.702 * h * s * (1.0 - s)
 
 
-def _mlp_fwd_kernel(x_ref, ln_s, ln_b, fc_w, fc_b, proj_w, proj_b, y_ref,
-                    *, _unused=None):
-    x = x_ref[0]
+def _mlp_pre(x, ln_s, ln_b, fc_w, fc_b):
     xn, _, _ = _ln_fp32(x, ln_s[...], ln_b[...])
     xn = xn.astype(x.dtype)
     # GELU runs in fp32: Mosaic miscompiles transcendentals on wide bf16
     # vectors ('vector.broadcast' verification failure)
-    h32 = jax.lax.dot_general(
+    return jax.lax.dot_general(
         xn, fc_w[...].astype(x.dtype), (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) + fc_b[...].astype(jnp.float32)
+
+
+def _mlp_fwd_kernel(x_ref, ln_s, ln_b, fc_w, fc_b, proj_w, proj_b, y_ref,
+                    *, _unused=None):
+    x = x_ref[0]
+    h32 = _mlp_pre(x, ln_s, ln_b, fc_w, fc_b)
     a = _quick_gelu(h32).astype(x.dtype)
     out = jax.lax.dot_general(
         a, proj_w[...].astype(x.dtype), (((1,), (0,)), ((), ())),
@@ -192,17 +317,21 @@ def _mlp_fwd_kernel(x_ref, ln_s, ln_b, fc_w, fc_b, proj_w, proj_b, y_ref,
     y_ref[0] = x + out
 
 
-def _mlp_bwd_kernel(x_ref, ln_s, ln_b, fc_w, fc_b, proj_w, proj_b, g_ref,
-                    dx_ref, *, _unused=None):
+def _mlp_fwd_save_kernel(x_ref, ln_s, ln_b, fc_w, fc_b, proj_w, proj_b,
+                         y_ref, h_ref, *, _unused=None):
+    """Forward that additionally stores the bf16 MLP pre-activation."""
     x = x_ref[0]
-    g = g_ref[0]
-    xn32, xhat, inv = _ln_fp32(x, ln_s[...], ln_b[...])
-    xn = xn32.astype(x.dtype)
-    h32 = jax.lax.dot_general(
-        xn, fc_w[...].astype(x.dtype), (((1,), (0,)), ((), ())),
+    h32 = _mlp_pre(x, ln_s, ln_b, fc_w, fc_b)
+    h_ref[0] = h32.astype(h_ref.dtype)
+    a = _quick_gelu(h32).astype(x.dtype)
+    out = jax.lax.dot_general(
+        a, proj_w[...].astype(x.dtype), (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) + fc_b[...].astype(jnp.float32)
+    ).astype(x.dtype) + proj_b[...].astype(x.dtype)
+    y_ref[0] = x + out
 
+
+def _mlp_bwd_core(x, h32, g, ln_s, ln_b, fc_w, proj_w):
     da = jax.lax.dot_general(                # g @ proj_w^T
         g, proj_w[...].astype(g.dtype), (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -212,8 +341,24 @@ def _mlp_bwd_kernel(x_ref, ln_s, ln_b, fc_w, fc_b, proj_w, proj_b, g_ref,
         dh.astype(x.dtype), fc_w[...].astype(x.dtype),
         (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
     )
+    _, xhat, inv = _ln_fp32(x, ln_s[...], ln_b[...])  # VPU-only recompute
     dx_ln = _ln_bwd_dx(dxn, xhat, inv, ln_s[...])
-    dx_ref[0] = (g.astype(jnp.float32) + dx_ln).astype(dx_ref.dtype)
+    return (g.astype(jnp.float32) + dx_ln).astype(x.dtype)
+
+
+def _mlp_bwd_kernel(x_ref, ln_s, ln_b, fc_w, fc_b, proj_w, proj_b, g_ref,
+                    dx_ref, *, _unused=None):
+    x = x_ref[0]
+    h32 = _mlp_pre(x, ln_s, ln_b, fc_w, fc_b)
+    dx_ref[0] = _mlp_bwd_core(x, h32, g_ref[0], ln_s, ln_b, fc_w, proj_w)
+
+
+def _mlp_bwd_save_kernel(x_ref, ln_s, ln_b, fc_w, fc_b, proj_w, proj_b,
+                         h_saved, g_ref, dx_ref, *, _unused=None):
+    """dx from the forward-saved pre-activation (no fc recompute)."""
+    x = x_ref[0]
+    h32 = h_saved[0].astype(jnp.float32)
+    dx_ref[0] = _mlp_bwd_core(x, h32, g_ref[0], ln_s, ln_b, fc_w, proj_w)
 
 
 # ---------------------------------------------------------------------------
@@ -224,6 +369,15 @@ def _mlp_bwd_kernel(x_ref, ln_s, ln_b, fc_w, fc_b, proj_w, proj_b, g_ref,
 # ~17 MB — over VMEM.  Grid (B, K) streams (D, CHUNK) fc columns and
 # (CHUNK, D) proj rows per step; the LN output is computed once per image
 # (k==0) into persistent scratch and the output accumulates across k.
+
+def _select_row(ref, k):
+    """Row k of a small 2-D ref as fp32, via masked sum: dynamic sublane
+    slices must be 8-aligned on TPU, but a compare-and-reduce is free."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, ref.shape, 0)
+    return jnp.sum(
+        jnp.where(rows == k, ref[...].astype(jnp.float32), 0.0), axis=0
+    )
+
 
 def _mlp_chunk_fwd_kernel(x_ref, ln_s, ln_b, fc_w, fc_b, proj_w, proj_b,
                           y_ref, xn_ref):
@@ -239,7 +393,7 @@ def _mlp_chunk_fwd_kernel(x_ref, ln_s, ln_b, fc_w, fc_b, proj_w, proj_b,
     h32 = jax.lax.dot_general(
         xn_ref[...], fc_w[...].astype(x.dtype), (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) + fc_b[...].astype(jnp.float32)
+    ) + _select_row(fc_b, k)
     a = _quick_gelu(h32).astype(x.dtype)
     out = jax.lax.dot_general(
         a, proj_w[...].astype(x.dtype), (((1,), (0,)), ((), ())),
@@ -264,7 +418,7 @@ def _mlp_chunk_bwd_kernel(x_ref, ln_s, ln_b, fc_w, fc_b, proj_w, proj_b,
     h32 = jax.lax.dot_general(
         xn_ref[...], fc_w[...].astype(x.dtype), (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) + fc_b[...].astype(jnp.float32)
+    ) + _select_row(fc_b, k)
     da = jax.lax.dot_general(
         g, proj_w[...].astype(g.dtype), (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -284,9 +438,12 @@ def _mlp_chunk_bwd_kernel(x_ref, ln_s, ln_b, fc_w, fc_b, proj_w, proj_b,
 
 
 def _pick_chunk(dh: int, d: int) -> int:
-    # keep (d, chunk)+(chunk, d) weights + two (S, chunk) fp32 buffers within
-    # VMEM: chunk 2048 fits at d<=768, 1024 at d<=1024
-    max_chunk = 2048 if d <= 768 else 1024
+    # keep the double-buffered (d, chunk)+(chunk, d) weight blocks + the
+    # (S, chunk)/(S, d) fp32 staging buffers within the 16 MB VMEM budget:
+    # chunk 2048 fits at d<=768; at d=1024 the BACKWARD kernel (which also
+    # stages dxn in fp32) measured 840 KB over the limit with chunk 1024,
+    # so wide models stream 512-column chunks
+    max_chunk = 2048 if d <= 768 else 512
     for c in (2048, 1536, 1024, 512):
         if c <= max_chunk and dh % c == 0:
             return c
@@ -298,12 +455,18 @@ def _call_mlp_chunked(kernel, x, params, extra, out_shapes, scratch):
     Dh = params[2].shape[1]
     chunk = _pick_chunk(Dh, D)
     K = Dh // chunk
+    # fc_b is staged as 2-D (K, chunk), loaded WHOLE (it's a few KB) with the
+    # chunk row selected in-kernel by program id: 1-D bf16 blocks narrower
+    # than XLA's 1024-element tile fail Mosaic layout verification, and a
+    # (1, chunk) block would need a sublane-divisible leading dim
+    params = list(params)
+    params[3] = params[3].reshape(K, chunk)
     specs = [
         pl.BlockSpec((1, S, D), lambda i, k: (i, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((D,), lambda i, k: (0,), memory_space=pltpu.VMEM),
         pl.BlockSpec((D,), lambda i, k: (0,), memory_space=pltpu.VMEM),
         pl.BlockSpec((D, chunk), lambda i, k: (0, k), memory_space=pltpu.VMEM),
-        pl.BlockSpec((chunk,), lambda i, k: (k,), memory_space=pltpu.VMEM),
+        pl.BlockSpec((K, chunk), lambda i, k: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((chunk, D), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((D,), lambda i, k: (0,), memory_space=pltpu.VMEM),
     ] + [
@@ -320,7 +483,8 @@ def _call_mlp_chunked(kernel, x, params, extra, out_shapes, scratch):
         out_specs=jax.tree_util.tree_map(lambda _: out_spec, out_shapes),
         out_shape=out_shapes,
         scratch_shapes=scratch,
-        interpret=jax.default_backend() != "tpu",
+        compiler_params=_COMPILER_PARAMS,
+        interpret=_interpret(),
     )(x, *params, *extra)
 
 
@@ -367,8 +531,13 @@ def _full(*shape):
     )
 
 
-def _row(S, D):
-    return pl.BlockSpec((1, S, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+def _row(S, X):
+    """One (S, X) image row of a (B, S, X) array per grid step."""
+    return pl.BlockSpec((1, S, X), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+
+
+def _row_spec_of(shaped):
+    return _row(shaped.shape[1], shaped.shape[2])
 
 
 def _call_attn(kernel, x, params, extra, out_shapes, scratch, **kw):
@@ -378,15 +547,16 @@ def _call_attn(kernel, x, params, extra, out_shapes, scratch, **kw):
         _full(D), _full(D),
         _full(D, 3 * D), _full(3 * D),
         _full(D, D), _full(D),
-    ] + [_row(S, D)] * len(extra)
+    ] + [_row_spec_of(e) for e in extra]
     return pl.pallas_call(
         functools.partial(kernel, **kw),
         grid=(B,),
         in_specs=specs,
-        out_specs=jax.tree_util.tree_map(lambda _: _row(S, D), out_shapes),
+        out_specs=jax.tree_util.tree_map(_row_spec_of, out_shapes),
         out_shape=out_shapes,
         scratch_shapes=scratch,
-        interpret=jax.default_backend() != "tpu",
+        compiler_params=_COMPILER_PARAMS,
+        interpret=_interpret(),
     )(x, *params, *extra)
 
 
@@ -398,14 +568,15 @@ def _call_mlp(kernel, x, params, extra, out_shapes, **kw):
         _full(D), _full(D),
         _full(D, Dh), _full(Dh),
         _full(Dh, D), _full(D),
-    ] + [_row(S, D)] * len(extra)
+    ] + [_row_spec_of(e) for e in extra]
     return pl.pallas_call(
         functools.partial(kernel, **kw),
         grid=(B,),
         in_specs=specs,
-        out_specs=jax.tree_util.tree_map(lambda _: _row(S, D), out_shapes),
+        out_specs=jax.tree_util.tree_map(_row_spec_of, out_shapes),
         out_shape=out_shapes,
-        interpret=jax.default_backend() != "tpu",
+        compiler_params=_COMPILER_PARAMS,
+        interpret=_interpret(),
     )(x, *params, *extra)
 
 
@@ -420,24 +591,52 @@ def attn_halfblock(x, ln_s, ln_b, qkv_w, qkv_b, out_w, out_b,
 def _attn_fwd(x, ln_s, ln_b, qkv_w, qkv_b, out_w, out_b, n_head, causal):
     B, S, D = x.shape
     params = (ln_s, ln_b, qkv_w, qkv_b, out_w, out_b)
-    y = _call_attn(
-        _attn_fwd_kernel, x, params, (),
-        jax.ShapeDtypeStruct((B, S, D), x.dtype),
-        [pltpu.VMEM((S, D), jnp.float32)],
-        n_head=n_head, causal=causal,
-    )
-    return y, (x, params)
+    scratch = [pltpu.VMEM((S, D), jnp.float32)]
+    # save-backward measured SLOWER than in-kernel recompute at D=1024
+    # (ViT-L: 245 vs 261 img/s at batch 96 — the (S, 3D) qkv round-trip no
+    # longer pipelines behind the fewer, larger matmuls); wide models take
+    # the recompute backward
+    if _SAVE_ACTS and D <= 768:
+        y, qkv = _call_attn(
+            _attn_fwd_save_kernel, x, params, (),
+            (
+                jax.ShapeDtypeStruct((B, S, D), x.dtype),
+                jax.ShapeDtypeStruct((B, S, 3 * D), x.dtype),
+            ),
+            scratch,
+            n_head=n_head, causal=causal,
+        )
+    else:
+        y = _call_attn(
+            _attn_fwd_kernel, x, params, (),
+            jax.ShapeDtypeStruct((B, S, D), x.dtype),
+            scratch,
+            n_head=n_head, causal=causal,
+        )
+        qkv = None
+    return y, (x, qkv, params)
 
 
 def _attn_bwd(n_head, causal, res, g):
-    x, params = res
+    x, qkv, params = res
     B, S, D = x.shape
-    dx = _call_attn(
-        _attn_bwd_kernel, x, params, (g,),
-        jax.ShapeDtypeStruct((B, S, D), x.dtype),
-        [pltpu.VMEM((S, 3 * D), jnp.float32)],
-        n_head=n_head, causal=causal,
-    )
+    # dqkv is staged in the activation dtype: it feeds a bf16-operand matmul
+    # (see _attn_bwd_core) and halves the scratch footprint
+    scratch = [pltpu.VMEM((S, 3 * D), x.dtype)]
+    if qkv is not None:
+        dx = _call_attn(
+            _attn_bwd_save_kernel, x, params, (qkv, g),
+            jax.ShapeDtypeStruct((B, S, D), x.dtype),
+            scratch,
+            n_head=n_head, causal=causal,
+        )
+    else:
+        dx = _call_attn(
+            _attn_bwd_kernel, x, params, (g,),
+            jax.ShapeDtypeStruct((B, S, D), x.dtype),
+            scratch,
+            n_head=n_head, causal=causal,
+        )
     zeros = tuple(jnp.zeros_like(p) for p in params)
     return (dx, *zeros)
 
@@ -454,21 +653,38 @@ def mlp_halfblock(x, ln_s, ln_b, fc_w, fc_b, proj_w, proj_b):
 
 def _mlp_fwd(x, ln_s, ln_b, fc_w, fc_b, proj_w, proj_b):
     B, S, D = x.shape
+    Dh = fc_w.shape[1]
     params = (ln_s, ln_b, fc_w, fc_b, proj_w, proj_b)
-    y = _call_mlp(
-        _mlp_fwd_kernel, x, params, (),
-        jax.ShapeDtypeStruct((B, S, D), x.dtype),
-    )
-    return y, (x, params)
+    if _SAVE_ACTS:
+        y, h = _call_mlp(
+            _mlp_fwd_save_kernel, x, params, (),
+            (
+                jax.ShapeDtypeStruct((B, S, D), x.dtype),
+                jax.ShapeDtypeStruct((B, S, Dh), x.dtype),
+            ),
+        )
+    else:
+        y = _call_mlp(
+            _mlp_fwd_kernel, x, params, (),
+            jax.ShapeDtypeStruct((B, S, D), x.dtype),
+        )
+        h = None
+    return y, (x, h, params)
 
 
 def _mlp_bwd(res, g):
-    x, params = res
+    x, h, params = res
     B, S, D = x.shape
-    dx = _call_mlp(
-        _mlp_bwd_kernel, x, params, (g,),
-        jax.ShapeDtypeStruct((B, S, D), x.dtype),
-    )
+    if h is not None:
+        dx = _call_mlp(
+            _mlp_bwd_save_kernel, x, params, (h, g),
+            jax.ShapeDtypeStruct((B, S, D), x.dtype),
+        )
+    else:
+        dx = _call_mlp(
+            _mlp_bwd_kernel, x, params, (g,),
+            jax.ShapeDtypeStruct((B, S, D), x.dtype),
+        )
     zeros = tuple(jnp.zeros_like(p) for p in params)
     return (dx, *zeros)
 

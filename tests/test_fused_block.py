@@ -10,7 +10,17 @@ import jax.numpy as jnp
 
 from mudpt_tpu.models import layers as L
 from mudpt_tpu.models.layers import attention, layer_norm, mlp
+from mudpt_tpu.ops import fused_block as FB
 from mudpt_tpu.ops.fused_block import attn_halfblock, mlp_halfblock
+
+
+@pytest.fixture(params=[True, False], ids=["save_acts", "recompute"])
+def save_acts(request):
+    """Run kernel tests under both backward strategies."""
+    prev = FB.save_acts_enabled()
+    FB.set_save_acts(request.param)
+    yield request.param
+    FB.set_save_acts(prev)
 
 
 def _params(rng, D):
@@ -28,7 +38,7 @@ def _params(rng, D):
 
 
 @pytest.mark.parametrize("causal", [False, True])
-def test_attn_halfblock_fwd_and_dx(causal):
+def test_attn_halfblock_fwd_and_dx(causal, save_acts):
     rng = np.random.RandomState(0)
     D, S, H = 64, 40, 2
     p = _params(rng, D)
@@ -57,7 +67,7 @@ def test_attn_halfblock_fwd_and_dx(causal):
     )
 
 
-def test_mlp_halfblock_fwd_and_dx():
+def test_mlp_halfblock_fwd_and_dx(save_acts):
     rng = np.random.RandomState(1)
     D, S = 64, 40
     p = _params(rng, D)
@@ -83,7 +93,7 @@ def test_mlp_halfblock_fwd_and_dx():
     )
 
 
-def test_full_tower_pallas_block_matches_xla():
+def test_full_tower_pallas_block_matches_xla(save_acts):
     """transformer_forward with the pallas block impl == XLA impl, and the
     prompt gradient (the only trainable input) matches."""
     from mudpt_tpu.models.transformer import make_injection_schedule, transformer_forward

@@ -52,7 +52,6 @@ def setup():
 
 
 def run(cfg, params, aux, trainable0, B, attn, remat, block):
-    L.set_attention_impl(attn)
     L.set_block_impl(block)
     T.set_remat_mode(remat)
     tx = optax.sgd(2.5e-3, momentum=0.9)
