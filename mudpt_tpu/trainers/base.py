@@ -107,6 +107,11 @@ class TrainerBase:
         self.cfg = cfg
         set_seed(cfg.SEED)
         self.mesh = build_mesh(cfg, devices)
+        # 'auto' kernel-impl selection follows the mesh's actual platform
+        # (a registered TPU plugin must not select Pallas for a CPU mesh)
+        from mudpt_tpu.models.layers import set_platform_hint
+
+        set_platform_hint(self.mesh.mesh.devices.flat[0].platform)
         self.dm = DataManager(cfg, dataset)
         self.num_classes = self.dm.num_classes
         self.classnames = self.dm.classnames

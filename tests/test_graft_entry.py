@@ -13,3 +13,30 @@ def test_dryrun_multichip_4():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(4)
+
+
+def test_dryrun_multichip_driver_env():
+    """Run ``python __graft_entry__.py 8`` as a SUBPROCESS with the driver's
+    environment: sitecustomize's TPU plugin registration active, no
+    JAX_PLATFORMS=cpu, no conftest — the exact invocation that crashed in
+    round 1 (MULTICHIP_r01.json: eager ops dispatched to the tunneled TPU).
+    The entry point must force the CPU platform itself."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    # the driver provides the virtual device count but NOT a cpu platform
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    env.pop("JAX_PLATFORMS", None)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "__graft_entry__.py"), "8"],
+        env=env,
+        cwd=repo,
+        capture_output=True,
+        text=True,
+        timeout=540,
+    )
+    assert proc.returncode == 0, f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr}"
+    assert "dryrun_multichip(8)" in proc.stdout and "OK" in proc.stdout
