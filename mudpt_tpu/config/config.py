@@ -130,6 +130,11 @@ class CoCoOpCfg:
     PREC: str = "fp16"
     CSC: bool = False
     CLASS_TOKEN_POSITION: str = "end"
+    # micro-batch size for the per-instance text encode (the O(B·n_cls)
+    # blowup that forced the reference to batch 1 on ImageNet,
+    # cocoop.py:187-193 + SURVEY.md §7).  0 = auto: chunk so one micro-batch
+    # encodes at most ~8192 prompt sequences; -1 = never chunk.
+    ENCODE_CHUNK: int = 0
 
 
 @_node

@@ -30,7 +30,24 @@ from mudpt_tpu.utils.registry import TRAINER_REGISTRY
 from mudpt_tpu.utils.rng import new_rng
 
 
-def cocoop_forward(trainable, frozen, aux, images, *, clip_cfg, compute_dtype):
+def _resolve_chunk(chunk: int, batch: int, n_cls: int) -> int:
+    """Micro-batch size for the per-instance text encode.
+
+    0 = auto: cap one micro-batch at ~1024 prompt sequences (n_cls × chunk).
+    A 77-token D=512 sequence through the 12-layer tower retains ~1.9 MB of
+    per-half-block residuals for its backward (recompute-mode kernels; the
+    chunk body disables activation saving), so 1024 sequences bound a
+    chunk's backward live set to ~2 GB — ImageNet-scale CoCoOp (n_cls=1000)
+    fits a 16 GB chip at any batch size.  -1 = never chunk."""
+    if chunk == -1:
+        return batch
+    if chunk == 0:
+        chunk = max(1, 1024 // max(1, n_cls))
+    return max(1, min(chunk, batch))
+
+
+def cocoop_forward(trainable, frozen, aux, images, *, clip_cfg, compute_dtype,
+                   encode_chunk: int = -1):
     img = encode_image(frozen, images, clip_cfg, compute_dtype=compute_dtype)
     img = img.astype(jnp.float32)
     img = img / jnp.linalg.norm(img, axis=-1, keepdims=True)  # (B, D)
@@ -55,7 +72,42 @@ def cocoop_forward(trainable, frozen, aux, images, *, clip_cfg, compute_dtype):
         txt = txt / jnp.linalg.norm(txt, axis=-1, keepdims=True)
         return scale * txt @ imf_i  # (n_cls,)
 
-    return jax.vmap(per_instance)(ctx_shifted, img)  # (B, n_cls)
+    B = img.shape[0]
+    n_cls = aux["token_prefix"].shape[0]
+    chunk = _resolve_chunk(encode_chunk, B, n_cls)
+    if chunk >= B:
+        return jax.vmap(per_instance)(ctx_shifted, img)  # (B, n_cls)
+
+    # chunked: lax.map over micro-batches of instances — the vmap'd text
+    # encode's live set scales with chunk·n_cls instead of B·n_cls.  The
+    # chunk body is jax.checkpoint'ed: without it every micro-batch's
+    # per-layer tower residuals (chunk·n_cls 77-token sequences × 24
+    # half-blocks) stay live for the backward — measured 67 GB at
+    # n_cls=1000, B=8 — while with it only one micro-batch's forward is
+    # ever materialized and the backward recomputes each chunk's encode.
+    # Micro-batches run the IDENTICAL vmap'd computation, so the chunked
+    # and unchunked paths match bit-for-bit (tests/test_trainers.py).
+    pad = (-B) % chunk
+    if pad:
+        ctx_shifted = jnp.concatenate(
+            [ctx_shifted, jnp.broadcast_to(ctx_shifted[-1:], (pad,) + ctx_shifted.shape[1:])]
+        )
+        img_p = jnp.concatenate(
+            [img, jnp.broadcast_to(img[-1:], (pad, img.shape[1]))]
+        )
+    else:
+        img_p = img
+    n_chunks = (B + pad) // chunk
+    ctx_c = ctx_shifted.reshape((n_chunks, chunk) + ctx_shifted.shape[1:])
+    img_c = img_p.reshape((n_chunks, chunk, img.shape[1]))
+    from mudpt_tpu.ops.fused_block import saved_acts
+
+    with saved_acts(False):  # qkv/h saves for chunk·n_cls sequences would
+        logits = jax.lax.map(  # dwarf the recompute they avoid
+            jax.checkpoint(lambda args: jax.vmap(per_instance)(*args)),
+            (ctx_c, img_c),
+        )
+    return logits.reshape(n_chunks * chunk, -1)[:B]
 
 
 @TRAINER_REGISTRY.register()
@@ -101,5 +153,8 @@ class CoCoOp(TrainerBase):
             trainable=trainable,
         )
         self.forward = functools.partial(
-            cocoop_forward, clip_cfg=clip_cfg, compute_dtype=self.compute_dtype
+            cocoop_forward,
+            clip_cfg=clip_cfg,
+            compute_dtype=self.compute_dtype,
+            encode_chunk=getattr(hp, "ENCODE_CHUNK", 0),
         )

@@ -122,3 +122,39 @@ def test_optimizer_state_only_prompts(tmp_path):
     # momentum buffer mirrors trainable; nothing anywhere near backbone size
     assert opt_count <= 2 * trainable_count + 16
     assert trainable_count < frozen_count / 50
+
+
+def test_cocoop_chunked_matches_unchunked(tmp_path):
+    """CoCoOp's chunked per-instance text encode (the ImageNet-scale memory
+    fix, VERDICT r1 item 5) must match the unchunked vmap bit-for-bit,
+    including at a chunk size that doesn't divide the batch."""
+    import functools
+
+    import numpy as np
+
+    from mudpt_tpu.trainers.cocoop import cocoop_forward
+
+    cfg = tiny_cfg("CoCoOp", tmp_path)
+    tr = build_trainer(cfg)
+    batch = next(iter(tr.dm.train_loader))
+    from mudpt_tpu.parallel import shard_batch
+
+    sharded = shard_batch(tr.mesh, batch)
+    images = sharded["image"]
+
+    def logits(chunk):
+        fwd = functools.partial(
+            cocoop_forward,
+            clip_cfg=tr.clip_cfg,
+            compute_dtype=tr.compute_dtype,
+            encode_chunk=chunk,
+        )
+        return np.asarray(fwd(tr.trainable, tr.frozen, tr.aux, images))
+
+    full = logits(-1)
+    # dividing chunk sizes: bit-for-bit (identical vmap'd computation)
+    for chunk in (2, 4):
+        np.testing.assert_array_equal(logits(chunk), full)
+    # non-dividing chunk exercises the padding path; XLA tiles the odd
+    # micro-batch differently -> reduction-order ulps only
+    np.testing.assert_allclose(logits(3), full, rtol=2e-6, atol=2e-6)
