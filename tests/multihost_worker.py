@@ -1,0 +1,70 @@
+"""One process of a 2-process MuDPT train-step pod test (CPU devices).
+
+Launched as ``python tests/multihost_worker.py <process_id> <coord_port>``
+by tests/test_multihost.py — two of these processes form a 2-host 'pod'
+with 4 virtual CPU devices each; the trainer builds its Mesh over all 8,
+each host feeds its slice of the batch (parallel/mesh.py shard_batch's
+multi-process path), and XLA's collectives cross the process boundary.
+Prints the per-step losses for the test to compare against the
+single-process run.
+"""
+import os
+import sys
+
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+
+def main() -> None:
+    pid = int(sys.argv[1])
+    port = sys.argv[2]
+    jax.distributed.initialize(
+        coordinator_address=f"127.0.0.1:{port}", num_processes=2, process_id=pid
+    )
+    assert jax.device_count() == 8 and jax.local_device_count() == 4
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from mudpt_tpu.config import default_config
+    from mudpt_tpu.parallel.mesh import shard_batch
+    from mudpt_tpu.parallel.multihost import maybe_initialize_distributed
+    from mudpt_tpu.trainers import build_trainer  # noqa: F401 (registration)
+    from mudpt_tpu.trainers.mudpt import MuDPT
+
+    assert maybe_initialize_distributed() is True  # already-initialized path
+
+    cfg = default_config()
+    cfg.TRAINER.NAME = "MuDPT"
+    cfg.MODEL.BACKBONE.NAME = "test-tiny"
+    cfg.MODEL.BACKBONE.PATH = "random"
+    cfg.DATASET.NAME = "Synthetic"
+    cfg.INPUT.SIZE = (32, 32)
+    cfg.DATALOADER.TRAIN_X.BATCH_SIZE = 16
+    cfg.DATALOADER.TEST.BATCH_SIZE = 16
+    cfg.DATALOADER.NUM_WORKERS = 2
+    cfg.OUTPUT_DIR = ""
+    cfg.TRAINER.MUDPT.PREC = "fp32"
+    cfg.PARALLEL.MODEL = 2  # dp x tp, spanning both hosts
+
+    trainer = MuDPT(cfg, devices=jax.devices())
+    assert trainer.mesh.mesh.devices.size == 8
+
+    losses = []
+    it = iter(trainer.dm.train_loader)
+    for _ in range(2):
+        batch = next(it)
+        sharded = shard_batch(trainer.mesh, batch)
+        trainer.trainable, trainer.opt_state, loss, acc = trainer._train_step(
+            trainer.trainable, trainer.opt_state, trainer.frozen, trainer.aux,
+            sharded,
+        )
+        losses.append(float(loss))  # replicated: fetchable on every host
+
+    print(f"LOSSES pid={pid} {losses}")
+
+
+if __name__ == "__main__":
+    main()

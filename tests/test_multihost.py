@@ -89,3 +89,76 @@ def test_maybe_initialize_distributed_env_parsing(monkeypatch):
 def test_primary_and_index():
     assert process_index() == 0
     assert is_primary() is True
+
+
+def test_two_process_train_step_matches_single_process(tmp_path):
+    """END-TO-END pod test: two subprocesses (4 virtual CPU devices each)
+    form one 8-device mesh via jax.distributed, run two real MuDPT train
+    steps with each host feeding its batch slice, and the losses must match
+    the identical single-process 8-device run (same seeds everywhere)."""
+    import re
+    import socket
+    import subprocess
+    import sys
+
+    # single-process reference losses, computed in-process on the same
+    # 8-device mesh with the same config as the worker
+    import jax as _jax
+
+    from mudpt_tpu.config import default_config
+    from mudpt_tpu.parallel.mesh import shard_batch
+    from mudpt_tpu.trainers.mudpt import MuDPT
+
+    cfg = default_config()
+    cfg.TRAINER.NAME = "MuDPT"
+    cfg.MODEL.BACKBONE.NAME = "test-tiny"
+    cfg.MODEL.BACKBONE.PATH = "random"
+    cfg.DATASET.NAME = "Synthetic"
+    cfg.INPUT.SIZE = (32, 32)
+    cfg.DATALOADER.TRAIN_X.BATCH_SIZE = 16
+    cfg.DATALOADER.TEST.BATCH_SIZE = 16
+    cfg.DATALOADER.NUM_WORKERS = 2
+    cfg.OUTPUT_DIR = ""
+    cfg.TRAINER.MUDPT.PREC = "fp32"
+    cfg.PARALLEL.MODEL = 2
+
+    trainer = MuDPT(cfg, devices=_jax.devices("cpu")[:8])
+    ref_losses = []
+    it = iter(trainer.dm.train_loader)
+    for _ in range(2):
+        sharded = shard_batch(trainer.mesh, next(it))
+        trainer.trainable, trainer.opt_state, loss, _ = trainer._train_step(
+            trainer.trainable, trainer.opt_state, trainer.frozen, trainer.aux,
+            sharded,
+        )
+        ref_losses.append(float(loss))
+
+    with socket.socket() as s:  # free coordinator port
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker = os.path.join(repo, "tests", "multihost_worker.py")
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)  # worker pins its own platform
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(pid), str(port)],
+            env=env, cwd=repo, stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True,
+        )
+        for pid in (0, 1)
+    ]
+    outs = [p.communicate(timeout=480)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-3000:]
+
+    for out in outs:
+        m = re.search(r"LOSSES pid=\d \[([-\d.e, ]+)\]", out)
+        assert m, out[-3000:]
+        losses = [float(x) for x in m.group(1).split(",")]
+        assert len(losses) == 2
+        for got, ref in zip(losses, ref_losses):
+            assert abs(got - ref) < 1e-5, (losses, ref_losses)
