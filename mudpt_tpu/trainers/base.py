@@ -195,7 +195,11 @@ class TrainerBase:
 
         inference = getattr(self, "model_inference", None) or forward
 
-        @jax.jit
+        # eval logits come back fully replicated: in multi-process (pod)
+        # runs a batch-sharded output would not be host-fetchable, and the
+        # evaluator runs identically on every host (all hosts iterate the
+        # same seed-deterministic loader)
+        @functools.partial(jax.jit, out_shardings=self.mesh.replicated)
         def eval_step(trainable, frozen, aux, images):
             logits = inference(trainable, frozen, aux, images)
             return logits[:, :n_cls].astype(jnp.float32)
@@ -367,6 +371,8 @@ class TrainerBase:
     def save_model(self, is_best: bool = False):
         if self.trainable is None:
             return
+        if jax.process_index() != 0:
+            return  # pod runs: the primary host owns the checkpoint files
         path = save_checkpoint(
             self.cfg.OUTPUT_DIR,
             self.model_name,

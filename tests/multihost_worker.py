@@ -63,7 +63,12 @@ def main() -> None:
         )
         losses.append(float(loss))  # replicated: fetchable on every host
 
+    # evaluation also runs in pod mode: eval logits are replicated outputs,
+    # every host computes identical metrics over the shared loader
+    results = trainer.evaluate(trainer.dm.test_loader)
+
     print(f"LOSSES pid={pid} {losses}")
+    print(f"ACC pid={pid} {results['accuracy']:.6f}")
 
 
 if __name__ == "__main__":

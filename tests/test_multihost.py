@@ -132,6 +132,7 @@ def test_two_process_train_step_matches_single_process(tmp_path):
             sharded,
         )
         ref_losses.append(float(loss))
+    ref_acc = trainer.evaluate(trainer.dm.test_loader)["accuracy"]
 
     with socket.socket() as s:  # free coordinator port
         s.bind(("127.0.0.1", 0))
@@ -162,3 +163,6 @@ def test_two_process_train_step_matches_single_process(tmp_path):
         assert len(losses) == 2
         for got, ref in zip(losses, ref_losses):
             assert abs(got - ref) < 1e-5, (losses, ref_losses)
+        ma = re.search(r"ACC pid=\d ([-\d.]+)", out)
+        assert ma, out[-3000:]
+        assert abs(float(ma.group(1)) - ref_acc) < 1e-3, (ma.group(1), ref_acc)
