@@ -59,6 +59,24 @@ def main() -> None:
                     default="auto")
     args = ap.parse_args()
 
+    try:
+        _run(args)
+    except Exception as e:  # OOM insurance: the headline batch leaves only
+        #  ~2.5 GB of HBM headroom; an environment with a slightly different
+        #  footprint must still produce a bench line, not a traceback
+        import sys
+
+        msg = str(e).lower()
+        if args.batch > 256 and ("memory" in msg or "resource" in msg):
+            print(f"# batch {args.batch} OOM'd; retrying at 256",
+                  file=sys.stderr)
+            args.batch = 256
+            _run(args)
+        else:
+            raise
+
+
+def _run(args) -> None:
     from mudpt_tpu.models.layers import resolve_block_impl
     from mudpt_tpu.models.transformer import set_remat_mode
 
