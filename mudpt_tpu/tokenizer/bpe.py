@@ -12,9 +12,11 @@ The merge table is the public OpenAI CLIP asset
 not code.
 
 Implementation notes (ours, not the reference's):
-  * ``ftfy`` is not available in this environment; ``_fix_text`` applies
-    NFC normalization + html unescape, which is byte-identical to ftfy for
-    the ASCII prompts/classnames this framework feeds it.
+  * ``ftfy`` is not available in this environment; ``_fix_text`` applies a
+    conservative UTF-8-as-Latin-1/cp1252 mojibake repair (the classic ftfy
+    case, see ``_fix_mojibake``) + NFC normalization + html unescape —
+    byte-identical to ftfy for the ASCII prompts/classnames this framework
+    feeds it, and agreeing on the standard mojibake fixes.
   * the BPE loop uses an explicit rank table and an in-place merge pass;
     results are memoized per word.
 """
@@ -54,8 +56,42 @@ def _byte_unicode_table() -> Dict[int, str]:
     return table
 
 
+_MOJIBAKE_MARKERS = re.compile(
+    # a UTF-8 lead byte mis-decoded as Latin-1/cp1252 (U+00C2-U+00EF)
+    # followed by a continuation-range char (U+0080-U+00BF) or its
+    # cp1252 remapping (euro, curly quotes, dashes, ellipsis, tilde, TM)
+    "[\u00c2-\u00ef]"
+    "[\u0080-\u00bf\u20ac\u2018\u2019\u201c\u201d\u2013\u2014\u2026\u02dc\u2122]"
+)
+
+
+def _fix_mojibake(text: str) -> str:
+    """Best-effort ftfy.fix_text stand-in for the classic mojibake case:
+    UTF-8 bytes decoded as Latin-1/cp1252.  Conservative — only rewrites
+    when the text shows mojibake marker sequences AND the repaired form
+    round-trips, so plain accented text ('café') is untouched.  Identical
+    to ftfy on every ASCII classname/template in the 15 datasets
+    (reference clip/simple_tokenizer.py:70 uses ftfy.fix_text)."""
+    for _ in range(3):  # double-encoded mojibake repairs in two passes
+        if not _MOJIBAKE_MARKERS.search(text):
+            return text
+        try:
+            repaired = text.encode("cp1252", errors="strict").decode("utf-8")
+        except (UnicodeEncodeError, UnicodeDecodeError):
+            try:
+                repaired = text.encode("latin-1", errors="strict").decode(
+                    "utf-8"
+                )
+            except (UnicodeEncodeError, UnicodeDecodeError):
+                return text
+        if repaired == text:
+            return text
+        text = repaired
+    return text
+
+
 def _fix_text(text: str) -> str:
-    # stand-in for ftfy.fix_text: mojibake is out of scope for prompt text
+    text = _fix_mojibake(text)
     text = unicodedata.normalize("NFC", text)
     text = html.unescape(html.unescape(text))
     return text.strip()

