@@ -231,9 +231,10 @@ def _run(args) -> None:
         # towers take the full in-kernel recompute — ops/fused_block.py),
         # XLA blocks recompute the whole forward under full remat
         if _rbi() == "pallas":
-            frac = getattr(_FB, "SAVED_FWD_FRACTION", 0.0)
-            vis_frac = frac if clip_cfg.vision_width <= 768 else 0.0
-            txt_frac = frac if clip_cfg.transformer_width <= 768 else 0.0
+            frac = _FB.SAVED_FWD_FRACTION
+            reco = _FB.SAVED_FWD_FRACTION_RECOMPUTE
+            vis_frac = frac if clip_cfg.vision_width <= 768 else reco
+            txt_frac = frac if clip_cfg.transformer_width <= 768 else reco
             recompute = img_fwd * (1.0 - vis_frac) + txt_fwd * (1.0 - txt_frac)
         else:
             recompute = (img_fwd + txt_fwd) if _T._REMAT_MODE != "none" else 0.0

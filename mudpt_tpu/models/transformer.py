@@ -58,8 +58,17 @@ _SCAN_UNROLL = os.environ.get("MUDPT_TPU_SCAN_UNROLL", "auto")
 
 def _resolve_unroll() -> int:
     if _SCAN_UNROLL == "auto":
-        return 12
+        # large enough to fully unroll every CLIP tower (ViT-L vision: 24)
+        return 64
     return int(_SCAN_UNROLL)
+
+
+def _remat_policy():
+    if _REMAT_MODE == "selective":
+        return jax.checkpoint_policies.save_anything_except_these_names(
+            "attn_scores", "attn_probs"
+        )
+    return None
 
 
 def set_remat_mode(name: str) -> None:
@@ -166,7 +175,9 @@ def transformer_forward(
             return residual_block(lp, h, n_head, mask, causal)
 
         if remat and _REMAT_MODE != "none":
-            one_layer = jax.checkpoint(one_layer, static_argnums=(1,))
+            one_layer = jax.checkpoint(
+                one_layer, policy=_remat_policy(), static_argnums=(1,)
+            )
         for l in range(num_layers):
             x = one_layer(x, l)
         return x
@@ -187,13 +198,7 @@ def transformer_forward(
             return h, None
 
     if remat and _REMAT_MODE != "none":
-        if _REMAT_MODE == "selective":
-            policy = jax.checkpoint_policies.save_anything_except_these_names(
-                "attn_scores", "attn_probs"
-            )
-        else:
-            policy = None
-        body = jax.checkpoint(body, policy=policy)
+        body = jax.checkpoint(body, policy=_remat_policy())
     xs = (
         stacked_params
         if prompts is None

@@ -50,19 +50,22 @@ _NEG = -1e30
 # exceeds physical VMEM.
 _COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
 
-# Forward-FLOPs fraction the backward does NOT have to recompute.  In
-# save-activations mode only the per-head score matmul + softmax are
-# re-derived (~4% of forward); in recompute mode the whole forward replays.
-# Consumed by bench.py's executed-FLOPs accounting.
+# Forward-FLOPs fraction the backward does NOT have to recompute, for
+# bench.py's executed-FLOPs accounting.  Save-activations mode re-derives
+# only the per-head score matmul (+ softmax): ~0.5 of the ~13 D^2-units per
+# token-layer => 0.96 saved.  Recompute mode replays the QKV projection (3),
+# score matmul (~0.5) and MLP fc (4) but NEVER the pv/out-proj/MLP-proj
+# matmuls (~5.5 of 13) => 0.42 saved even then.
+SAVED_FWD_FRACTION_RECOMPUTE = 0.42
 _SAVE_ACTS = os.environ.get("MUDPT_TPU_SAVE_ACTS", "1") != "0"
-SAVED_FWD_FRACTION = 0.96 if _SAVE_ACTS else 0.0
+SAVED_FWD_FRACTION = 0.96 if _SAVE_ACTS else SAVED_FWD_FRACTION_RECOMPUTE
 
 
 def set_save_acts(on: bool) -> None:
     """Toggle the save-activations backward (see module docstring)."""
     global _SAVE_ACTS, SAVED_FWD_FRACTION
     _SAVE_ACTS = bool(on)
-    SAVED_FWD_FRACTION = 0.96 if _SAVE_ACTS else 0.0
+    SAVED_FWD_FRACTION = 0.96 if _SAVE_ACTS else SAVED_FWD_FRACTION_RECOMPUTE
 
 
 def save_acts_enabled() -> bool:

@@ -72,12 +72,13 @@ def shard_batch(ctx: MeshContext, batch: dict) -> dict:
     """Pad the batch to a multiple of n_data and shard it on the data axis.
 
     Multi-process (pod) mode: every host's input pipeline produces the SAME
-    global batch (loaders are seed-deterministic), and each host contributes
-    its contiguous slice of the data axis via
-    ``jax.make_array_from_process_local_data`` — the first data rows live on
-    process 0's devices because ``build_mesh`` lays devices out in id order.
-    (v1 strategy: each host decodes the full global batch — correct and
-    simple; per-host item sharding is the scale-up path.)"""
+    global batch (loaders are seed-deterministic), and each of this host's
+    devices pulls exactly its shard from that host copy via
+    ``jax.make_array_from_callback`` — correct for ANY batch size and any
+    data-axis/process-count split, including data axes narrower than the
+    process count (where shards replicate across hosts).  (v1 strategy:
+    each host decodes the full global batch — correct and simple; per-host
+    item sharding is the scale-up path.)"""
     n_proc = jax.process_count()
     out = {}
     for k, v in batch.items():
@@ -90,12 +91,8 @@ def shard_batch(ctx: MeshContext, batch: dict) -> dict:
             if k == "valid":
                 v[-pad:] = False
         if n_proc > 1:
-            rows = v.shape[0] // n_proc
-            pid = jax.process_index()
-            out[k] = jax.make_array_from_process_local_data(
-                ctx.batch_sharding,
-                v[pid * rows : (pid + 1) * rows],
-                global_shape=v.shape,
+            out[k] = jax.make_array_from_callback(
+                v.shape, ctx.batch_sharding, lambda idx, v=v: v[idx]
             )
         else:
             out[k] = jax.device_put(v, ctx.batch_sharding)

@@ -54,3 +54,16 @@ def process_index() -> int:
 
 def is_primary() -> bool:
     return jax.process_index() == 0
+
+
+def broadcast_from_primary(tree):
+    """Broadcast a host-side pytree (numpy arrays / python scalars) from
+    process 0 to all processes.  Single-process: identity.  Used so
+    filesystem-dependent decisions (which checkpoint exists, its weights)
+    are made ONCE — per-host disks may disagree, and feeding divergent
+    values into a replicated global array is undefined behavior."""
+    if jax.process_count() == 1:
+        return tree
+    from jax.experimental import multihost_utils
+
+    return multihost_utils.broadcast_one_to_all(tree)

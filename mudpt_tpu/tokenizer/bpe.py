@@ -57,10 +57,14 @@ def _byte_unicode_table() -> Dict[int, str]:
 
 
 _MOJIBAKE_MARKERS = re.compile(
-    # a UTF-8 lead byte mis-decoded as Latin-1/cp1252 (U+00C2-U+00EF)
-    # followed by a continuation-range char (U+0080-U+00BF) or its
-    # cp1252 remapping (euro, curly quotes, dashes, ellipsis, tilde, TM)
-    "[\u00c2-\u00ef]"
+    # Only the HIGH-CONFIDENCE mojibake leads: U+00C2/U+00C3 (mis-decoded
+    # UTF-8 leads of the Latin-1 supplement \u2014 '\u00c3\u00a9' for '\u00e9') and U+00E2
+    # (general-punctuation triples \u2014 '\u00e2\u20ac\u0153' for a curly quote), followed by a
+    # continuation-range char (U+0080-U+00BF) or its cp1252 remapping.
+    # Broader lead ranges false-positive on legitimate text: a real
+    # 'multiplication sign + euro' pair is round-trip-valid UTF-8 and would
+    # be silently rewritten to Hebrew punctuation (caught in review).
+    "[\u00c2\u00c3\u00e2]"
     "[\u0080-\u00bf\u20ac\u2018\u2019\u201c\u201d\u2013\u2014\u2026\u02dc\u2122]"
 )
 

@@ -235,10 +235,14 @@ class TrainerBase:
             m = _re.search(r"model\.pth\.tar-(\d+)$", path)
             if m:
                 epochs.append(int(m.group(1)))
-        if not epochs:
+        # pod runs: the primary's filesystem decides (checkpoints are written
+        # by the primary only; other hosts' disks may not have them)
+        from mudpt_tpu.parallel.multihost import broadcast_from_primary
+
+        last = int(broadcast_from_primary(np.int32(max(epochs, default=0))))
+        if not last:
             print(f"RESUME requested but no checkpoints under {pattern}")
             return 0
-        last = max(epochs)
         self.load_model(self.cfg.RESUME, epoch=last)
         self.global_step = last * max(1, len(self.dm.train_loader))
         print(f"Resumed from epoch {last}")
@@ -321,14 +325,27 @@ class TrainerBase:
 
     def after_train(self):
         if not self.cfg.TEST.NO_TEST:
+            from mudpt_tpu.parallel.multihost import broadcast_from_primary
+
+            has_best = bool(
+                int(
+                    broadcast_from_primary(
+                        np.int32(
+                            os.path.exists(
+                                os.path.join(
+                                    self.cfg.OUTPUT_DIR,
+                                    self.model_name,
+                                    "model-best.pth.tar",
+                                )
+                            )
+                        )
+                    )
+                )
+            )
             if (
                 self.cfg.TEST.FINAL_MODEL == "best_val"
                 and self.trainable is not None
-                and os.path.exists(
-                    os.path.join(
-                        self.cfg.OUTPUT_DIR, self.model_name, "model-best.pth.tar"
-                    )
-                )
+                and has_best
             ):
                 print("Testing with the best-on-val checkpoint")
                 self.load_model(self.cfg.OUTPUT_DIR, epoch=None)
@@ -391,14 +408,25 @@ class TrainerBase:
         if not directory:
             print("load_model() skipped: no pretrained model given")
             return
-        loaded, _, meta = load_checkpoint(directory, self.model_name, epoch)
+        # pod runs: the primary reads the files and broadcasts the merged
+        # weights — per-host disks may disagree, and replicated global
+        # arrays must be fed identical values on every host
+        from mudpt_tpu.parallel.multihost import broadcast_from_primary
+
+        host_tree = jax.device_get(self.trainable)
+        ckpt_epoch = -1
+        if jax.process_index() == 0:
+            loaded, _, meta = load_checkpoint(directory, self.model_name, epoch)
+            host_tree = restore_into(host_tree, loaded)
+            ckpt_epoch = int(meta.get("epoch") or -1)
+        host_tree, ckpt_epoch = broadcast_from_primary(
+            (host_tree, np.int32(ckpt_epoch))
+        )
         print(
             f"Loading weights for {self.model_name} from {directory} "
-            f"(epoch={meta.get('epoch')})"
+            f"(epoch={int(ckpt_epoch)})"
         )
-        self.trainable = replicate(
-            self.mesh, restore_into(jax.device_get(self.trainable), loaded)
-        )
+        self.trainable = replicate(self.mesh, host_tree)
 
     # -- abstract -------------------------------------------------------
     # subclasses must set self.forward (a pure function) in build_model()

@@ -67,6 +67,22 @@ def main() -> None:
     # every host computes identical metrics over the shared loader
     results = trainer.evaluate(trainer.dm.test_loader)
 
+    # checkpoint round-trip in pod mode: primary writes, primary reads,
+    # weights broadcast — every host must end with identical values
+    if len(sys.argv) > 3:
+        import numpy as np
+
+        trainer.cfg.OUTPUT_DIR = sys.argv[3]
+        trainer.save_model()
+        trainer.load_model(sys.argv[3], epoch=1)
+        csum = float(
+            sum(
+                np.abs(np.asarray(jax.device_get(leaf), np.float64)).sum()
+                for leaf in jax.tree_util.tree_leaves(trainer.trainable)
+            )
+        )
+        print(f"CKSUM pid={pid} {csum:.6f}")
+
     print(f"LOSSES pid={pid} {losses}")
     print(f"ACC pid={pid} {results['accuracy']:.6f}")
 

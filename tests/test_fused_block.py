@@ -141,7 +141,10 @@ def test_chunked_mlp_halfblock_matches():
     from mudpt_tpu.ops.fused_block import mlp_halfblock_chunked
 
     rng = np.random.RandomState(3)
-    D, S = 256, 24  # Dh=1024 -> chunks of 512
+    # D=768 -> Dh=3072 -> chunk 1536, K=2: exercises the MULTI-chunk
+    # streaming path (k>0 accumulation, pl.when gating, 2-D bias row select)
+    # that the ViT-L configuration (K=8) relies on
+    D, S = 768, 8
     p = _params(rng, D)
     x = jnp.asarray(rng.randn(2, S, D), jnp.float32)
 

@@ -146,7 +146,7 @@ def test_two_process_train_step_matches_single_process(tmp_path):
     env.pop("JAX_PLATFORMS", None)  # worker pins its own platform
     procs = [
         subprocess.Popen(
-            [sys.executable, worker, str(pid), str(port)],
+            [sys.executable, worker, str(pid), str(port), str(tmp_path)],
             env=env, cwd=repo, stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT, text=True,
         )
@@ -166,3 +166,12 @@ def test_two_process_train_step_matches_single_process(tmp_path):
         ma = re.search(r"ACC pid=\d ([-\d.]+)", out)
         assert ma, out[-3000:]
         assert abs(float(ma.group(1)) - ref_acc) < 1e-3, (ma.group(1), ref_acc)
+
+    # checkpoint round-trip (primary writes + broadcast-on-load): both hosts
+    # must report the identical post-reload weight checksum
+    csums = []
+    for out in outs:
+        mc = re.search(r"CKSUM pid=\d ([-\d.]+)", out)
+        assert mc, out[-3000:]
+        csums.append(float(mc.group(1)))
+    assert csums[0] == csums[1], csums

@@ -81,3 +81,14 @@ def test_fix_text_mojibake_repair():
                   b"\xe2\x80\x9chello\xe2\x80\x9d".decode("utf-8")]:
         moji = clean.encode("utf-8").decode("latin-1")
         assert _fix_mojibake(moji) == clean, (moji, clean)
+
+
+def test_fix_text_no_false_positive_on_roundtrip_valid_text():
+    """Legitimate text whose bytes happen to round-trip as valid UTF-8 must
+    NOT be rewritten: 'multiplication sign + euro' cp1252-encodes to a
+    valid UTF-8 sequence (Hebrew punctuation) — only the high-confidence
+    mojibake leads may trigger a repair."""
+    from mudpt_tpu.tokenizer.bpe import _fix_mojibake
+
+    legit = "3×€5 prints"
+    assert _fix_mojibake(legit) == legit

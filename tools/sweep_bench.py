@@ -2,9 +2,9 @@
 """Throughput sweep harness for the MuDPT train step.
 
 Usage:
-  python tools/sweep_bench.py B:ATTN:REMAT:BLOCK [more specs...]
+  python tools/sweep_bench.py B:REMAT:BLOCK[:SAVE] [more specs...]
 e.g.
-  python tools/sweep_bench.py 80:xla:none:pallas 80:xla:none:xla
+  python tools/sweep_bench.py 384:none:pallas:save 384:none:pallas:reco
 """
 
 from __future__ import annotations
@@ -51,9 +51,12 @@ def setup():
     return cfg, params, aux, trainable
 
 
-def run(cfg, params, aux, trainable0, B, attn, remat, block):
+def run(cfg, params, aux, trainable0, B, remat, block, save):
+    from mudpt_tpu.ops import fused_block as FB
+
     L.set_block_impl(block)
     T.set_remat_mode(remat)
+    FB.set_save_acts(save == "save")
     tx = optax.sgd(2.5e-3, momentum=0.9)
     forward = functools.partial(
         mudpt_forward, clip_cfg=cfg, compute_dtype=jnp.bfloat16
@@ -85,13 +88,13 @@ def run(cfg, params, aux, trainable0, B, attn, remat, block):
         lv = float(loss)
         dt = time.perf_counter() - t0
         print(
-            f"B={B} attn={attn} remat={remat} block={block}: "
+            f"B={B} remat={remat} block={block} save={save}: "
             f"{B * N / dt:.1f} img/s ({dt / N * 1e3:.1f} ms/step, loss {lv:.3f})",
             flush=True,
         )
     except Exception as e:
         print(
-            f"B={B} attn={attn} remat={remat} block={block}: FAILED "
+            f"B={B} remat={remat} block={block} save={save}: FAILED "
             f"{type(e).__name__} {str(e)[:140]}",
             flush=True,
         )
@@ -101,9 +104,10 @@ def main():
     cfg, params, aux, trainable = setup()
     for spec in sys.argv[1:]:
         parts = spec.split(":")
-        B, attn, remat = int(parts[0]), parts[1], parts[2]
-        block = parts[3] if len(parts) > 3 else "xla"
-        run(cfg, params, aux, trainable, B, attn, remat, block)
+        B, remat = int(parts[0]), parts[1]
+        block = parts[2] if len(parts) > 2 else "xla"
+        save = parts[3] if len(parts) > 3 else "save"
+        run(cfg, params, aux, trainable, B, remat, block, save)
 
 
 if __name__ == "__main__":
