@@ -67,3 +67,27 @@ def test_parse_test_res(tmp_path):
     assert res.returncode == 0, res.stderr
     assert "accuracy: 81.50 +/- 0.71" in res.stdout
     assert "macro_f1: 70.00" in res.stdout
+
+
+def test_validate_zeroshot_plumbing(tmp_path):
+    """tools/validate_zeroshot.py runs its full path (config -> dataset ->
+    zero-shot trainer -> evaluator -> comparison report) on the synthetic
+    dataset; the published-number comparison itself stays blocked on real
+    weights (docs/STATUS.md)."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env.update(JAX_PLATFORMS="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=8")
+    res = subprocess.run(
+        [sys.executable, "tools/validate_zeroshot.py",
+         "--dataset_root", str(tmp_path),
+         "--backbone", "test-tiny", "--backbone_path", "random",
+         "--datasets", "synthetic",
+         "INPUT.SIZE", "(32, 32)", "DATALOADER.TEST.BATCH_SIZE", "8"],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert res.returncode == 0, res.stdout[-2000:] + res.stderr[-2000:]
+    assert "no published value" in res.stdout

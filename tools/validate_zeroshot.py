@@ -20,7 +20,10 @@ published value.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # Published zero-shot top-1 for CLIP ViT-B/16 with the hand-crafted single
 # template (CoOp, IJCV 2022, Table 1 "zero-shot CLIP"; prompt templates
@@ -48,9 +51,11 @@ def main() -> int:
     ap.add_argument("--datasets", nargs="+", default=sorted(PUBLISHED_VIT_B16))
     ap.add_argument("--tolerance", type=float, default=1.0,
                     help="max |measured - published| in accuracy points")
+    ap.add_argument("opts", nargs=argparse.REMAINDER,
+                    help="trailing KEY VALUE config overrides")
     args = ap.parse_args()
 
-    from mudpt_tpu.config import default_config, merge_from_file
+    from mudpt_tpu.config import default_config, merge_from_file, merge_from_list
     from mudpt_tpu.trainers import build_trainer
 
     failures = []
@@ -63,6 +68,8 @@ def main() -> int:
         cfg.MODEL.BACKBONE.NAME = args.backbone
         cfg.MODEL.BACKBONE.PATH = args.backbone_path
         cfg.OUTPUT_DIR = ""
+        if args.opts:
+            merge_from_list(cfg, args.opts)
         trainer = build_trainer(cfg)
         results = trainer.test()
         acc = results["accuracy"]
