@@ -595,11 +595,11 @@ def _attn_fwd(x, ln_s, ln_b, qkv_w, qkv_b, out_w, out_b, n_head, causal):
     B, S, D = x.shape
     params = (ln_s, ln_b, qkv_w, qkv_b, out_w, out_b)
     scratch = [pltpu.VMEM((S, D), jnp.float32)]
-    # save-backward measured SLOWER than in-kernel recompute at D=1024
-    # (ViT-L: 245 vs 261 img/s at batch 96 — the (S, 3D) qkv round-trip no
-    # longer pipelines behind the fewer, larger matmuls); wide models take
-    # the recompute backward
-    if _SAVE_ACTS and D <= 768:
+    # D <= 1024 covers every CLIP tower; the save-backward needs the raised
+    # VMEM cap at D=1024 and wins there too once the layer loop is unrolled
+    # (ViT-L: 319 vs 299 img/s at batch 128 — on the rolled scan it LOST,
+    # 245 vs 261, to the residual-stacking copies; docs/BENCHMARKS.md)
+    if _SAVE_ACTS and D <= 1024:
         y, qkv = _call_attn(
             _attn_fwd_save_kernel, x, params, (),
             (
