@@ -130,6 +130,15 @@ class TrainerBase:
         self.compute_dtype = jnp.bfloat16 if prec in ("fp16", "amp") else jnp.float32
 
         self.build_model()
+        if self.trainable is not None and cfg.MODEL.INIT_WEIGHTS:
+            # warm-start the prompt learner from a previous run's output
+            # directory (reference trainers/mudpt.py:220-221
+            # load_pretrained_weights); class-dependent buffers stay fresh
+            print(f"Initializing prompt weights from {cfg.MODEL.INIT_WEIGHTS}")
+            self.load_model(
+                cfg.MODEL.INIT_WEIGHTS,
+                epoch=self._resolve_checkpoint_epoch(cfg.MODEL.INIT_WEIGHTS),
+            )
         if self.trainable is not None:
             self._build_train_state()
         self._jit_steps()
@@ -400,6 +409,27 @@ class TrainerBase:
             meta={"trainer": self.cfg.TRAINER.NAME},
         )
         print(f"Checkpoint saved to {path}")
+
+    def _resolve_checkpoint_epoch(self, directory: str) -> Optional[int]:
+        """None (= model-best.pth.tar) when a best checkpoint exists, else
+        the highest saved epoch.  Primary's filesystem decides (pod-safe)."""
+        import glob
+        import re as _re
+
+        sub = os.path.join(directory, self.model_name)
+        if os.path.exists(os.path.join(sub, "model-best.pth.tar")):
+            resolved = 0  # sentinel for "best"
+        else:
+            eps = []
+            for path in glob.glob(os.path.join(sub, "model.pth.tar-*")):
+                m = _re.search(r"model\.pth\.tar-(\d+)$", path)
+                if m:
+                    eps.append(int(m.group(1)))
+            resolved = max(eps, default=0)
+        from mudpt_tpu.parallel.multihost import broadcast_from_primary
+
+        resolved = int(broadcast_from_primary(np.int32(resolved)))
+        return None if resolved == 0 else resolved
 
     def load_model(self, directory: Optional[str], epoch: Optional[int] = None):
         """Load learned prompt weights; class-dependent buffers stay as the

@@ -158,3 +158,26 @@ def test_cocoop_chunked_matches_unchunked(tmp_path):
     # non-dividing chunk exercises the padding path; XLA tiles the odd
     # micro-batch differently -> reduction-order ulps only
     np.testing.assert_allclose(logits(3), full, rtol=2e-6, atol=2e-6)
+
+
+def test_init_weights_warm_start(tmp_path):
+    """MODEL.INIT_WEIGHTS warm-starts the prompt learner from a previous
+    run's output directory (reference trainers/mudpt.py:220-221):
+    the new trainer's trainable pytree must equal the saved checkpoint."""
+    import jax
+    import numpy as np
+
+    cfg = tiny_cfg("MuDPT", tmp_path)
+    cfg.OPTIM.MAX_EPOCH = 1
+    tr = build_trainer(cfg)
+    tr.train()
+    saved = jax.device_get(tr.trainable)
+
+    cfg2 = tiny_cfg("MuDPT", tmp_path)
+    cfg2.OUTPUT_DIR = str(tmp_path / "out2")
+    cfg2.MODEL.INIT_WEIGHTS = str(tmp_path / "out")
+    tr2 = build_trainer(cfg2)
+    warm = jax.device_get(tr2.trainable)
+    for a, b in zip(jax.tree_util.tree_leaves(saved),
+                    jax.tree_util.tree_leaves(warm)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
