@@ -72,7 +72,7 @@ class DataManager:
             dataset.train_x,
             train_tf,
             cfg.DATALOADER.TRAIN_X.BATCH_SIZE,
-            shuffle=True,
+            shuffle=cfg.DATALOADER.TRAIN_X.SAMPLER == "random",
             drop_last=True,
             num_workers=cfg.DATALOADER.NUM_WORKERS,
             seed=cfg.SEED,

@@ -57,14 +57,32 @@ def build_optimizer(optim_cfg, steps_per_epoch: int) -> Tuple[optax.GradientTran
     schedule = make_lr_schedule(optim_cfg, steps_per_epoch)
     name = optim_cfg.NAME.lower()
     if name == "sgd":
-        tx = optax.chain(
-            optax.add_decayed_weights(optim_cfg.WEIGHT_DECAY),
-            optax.sgd(
-                learning_rate=schedule,
-                momentum=optim_cfg.MOMENTUM,
-                nesterov=optim_cfg.SGD_NESTEROV,
-            ),
-        )
+        dampening = getattr(optim_cfg, "SGD_DAMPNING", 0.0)  # ref typo kept
+        if dampening:
+            # torch semantics: buf = momentum*buf + (1-dampening)*grad;
+            # optax.trace has no dampening knob, so pre-scale the gradient.
+            # (torch skips dampening on the very first update; with the
+            # reference's shipped dampening=0 this path never runs — kept
+            # for config-surface completeness)
+            momentum_tx = optax.chain(
+                optax.scale(1.0 - dampening),
+                optax.trace(
+                    decay=optim_cfg.MOMENTUM, nesterov=optim_cfg.SGD_NESTEROV
+                ),
+                optax.scale_by_learning_rate(schedule),
+            )
+            tx = optax.chain(
+                optax.add_decayed_weights(optim_cfg.WEIGHT_DECAY), momentum_tx
+            )
+        else:
+            tx = optax.chain(
+                optax.add_decayed_weights(optim_cfg.WEIGHT_DECAY),
+                optax.sgd(
+                    learning_rate=schedule,
+                    momentum=optim_cfg.MOMENTUM,
+                    nesterov=optim_cfg.SGD_NESTEROV,
+                ),
+            )
     elif name == "adam":
         tx = optax.chain(
             optax.add_decayed_weights(optim_cfg.WEIGHT_DECAY),

@@ -63,3 +63,59 @@ def test_trainer_params_reflection():
     cfg.TRAINER.NAME = "UUMuDPT"
     assert cfg.trainer_params().N_CTX == 2
     assert cfg.trainer_params("ZeroshotCLIP") is None
+
+
+def test_sgd_dampening_semantics():
+    """SGD_DAMPNING (reference key, torch semantics): with dampening d the
+    momentum buffer accumulates (1-d)*grad, so after two identical-gradient
+    steps the applied update is lr*(1-d)*(1+momentum)*g (vs torch's
+    first-step quirk, see optim.py comment)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mudpt_tpu.config import default_config
+    from mudpt_tpu.trainers.optim import build_optimizer
+
+    cfg = default_config().OPTIM
+    cfg.NAME = "sgd"
+    cfg.LR = 1.0
+    cfg.MOMENTUM = 0.5
+    cfg.WEIGHT_DECAY = 0.0
+    cfg.WARMUP_EPOCH = 0
+    cfg.LR_SCHEDULER = "single_step"
+    cfg.SGD_DAMPNING = 0.2
+
+    tx, _ = build_optimizer(cfg, steps_per_epoch=1)
+    params = {"w": jnp.zeros(3)}
+    g = {"w": jnp.ones(3)}
+    state = tx.init(params)
+    upd1, state = tx.update(g, state, params)
+    upd2, state = tx.update(g, state, params)
+    # buf1 = 0.8*g -> upd1 = -0.8*g; buf2 = 0.5*0.8g + 0.8g = 1.2g
+    np.testing.assert_allclose(np.asarray(upd1["w"]), -0.8, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(upd2["w"]), -1.2, rtol=1e-6)
+
+
+def test_train_sampler_config():
+    """DATALOADER.TRAIN_X.SAMPLER controls train shuffling: 'sequential'
+    yields identical first batches across differently-seeded managers."""
+    import numpy as np
+
+    from mudpt_tpu.config import default_config
+    from mudpt_tpu.data import DataManager
+
+    def first_labels(sampler, seed):
+        cfg = default_config()
+        cfg.DATASET.NAME = "Synthetic"
+        cfg.INPUT.SIZE = (32, 32)
+        cfg.DATALOADER.TRAIN_X.BATCH_SIZE = 8
+        cfg.DATALOADER.TRAIN_X.SAMPLER = sampler
+        cfg.DATALOADER.NUM_WORKERS = 2
+        cfg.SEED = seed
+        dm = DataManager(cfg)
+        return np.asarray(next(iter(dm.train_loader))["label"])
+
+    seq1, seq2 = first_labels("sequential", 1), first_labels("sequential", 2)
+    np.testing.assert_array_equal(seq1, seq2)
+    rnd1, rnd2 = first_labels("random", 1), first_labels("random", 2)
+    assert not (np.array_equal(rnd1, seq1) and np.array_equal(rnd2, seq2))
