@@ -70,6 +70,12 @@ class DataLoaderCfg:
     TEST: LoaderSplitCfg = field(default_factory=lambda: LoaderSplitCfg(BATCH_SIZE=100, SAMPLER="sequential"))
     NUM_WORKERS: int = 8
     PIPELINE: str = "threads"  # threads (PIL) | tfdata (tf.data) | grain
+    # multi-host input strategy for TRAINING: False (default) = every host
+    # decodes the same seed-deterministic global batch (simple, validated);
+    # True = hosts decode disjoint item shards and contribute their slice
+    # of the global batch (scales decode work; requires the mesh data axis
+    # to divide evenly across processes)
+    HOST_SHARD: bool = False
 
 
 @_node

@@ -26,13 +26,38 @@ class DataManager:
             dataset = dataset_cls.build(cfg)
         self.dataset = dataset
 
+        # multi-host input strategy (DATALOADER.HOST_SHARD): hosts decode
+        # DISJOINT train-item shards and per-host batches; parallel/mesh.py
+        # shard_batch(host_local=True) assembles the global batch from the
+        # slices.  Items are truncated to equal per-host lengths so every
+        # host runs the same number of steps (lockstep collectives).
+        self.host_sharded = False
+        train_items = dataset.train_x
+        train_bs = cfg.DATALOADER.TRAIN_X.BATCH_SIZE
+        if cfg.DATALOADER.HOST_SHARD:
+            import jax
+
+            n_proc = jax.process_count()
+            if n_proc > 1:
+                if train_bs % n_proc:
+                    raise ValueError(
+                        f"DATALOADER.HOST_SHARD: global train batch "
+                        f"{train_bs} must divide by process count {n_proc}"
+                    )
+                n = (len(train_items) // n_proc) * n_proc
+                train_items = train_items[jax.process_index():n:n_proc]
+                train_bs = train_bs // n_proc
+                self.host_sharded = True
+        self._train_items = train_items
+        self._train_bs = train_bs
+
         if cfg.DATALOADER.PIPELINE == "grain":
             from mudpt_tpu.data.grain_pipeline import GrainLoader
 
             train_tf = build_transform(cfg, is_train=True)
             test_tf = build_transform(cfg, is_train=False)
             self.train_loader = GrainLoader(
-                dataset.train_x, train_tf, cfg.DATALOADER.TRAIN_X.BATCH_SIZE,
+                self._train_items, train_tf, self._train_bs,
                 shuffle=True, drop_last=True, seed=cfg.SEED,
             )
             self.val_loader = (
@@ -53,9 +78,7 @@ class DataManager:
                 drop_last=train, seed=cfg.SEED,
                 mean=cfg.INPUT.PIXEL_MEAN, std=cfg.INPUT.PIXEL_STD,
             )
-            self.train_loader = mk(
-                dataset.train_x, cfg.DATALOADER.TRAIN_X.BATCH_SIZE, True
-            )
+            self.train_loader = mk(self._train_items, self._train_bs, True)
             self.val_loader = (
                 mk(dataset.val, cfg.DATALOADER.TEST.BATCH_SIZE, False)
                 if dataset.val else None
@@ -69,9 +92,9 @@ class DataManager:
         test_tf = build_transform(cfg, is_train=False)
 
         self.train_loader = DataLoader(
-            dataset.train_x,
+            self._train_items,
             train_tf,
-            cfg.DATALOADER.TRAIN_X.BATCH_SIZE,
+            self._train_bs,
             shuffle=cfg.DATALOADER.TRAIN_X.SAMPLER == "random",
             drop_last=True,
             num_workers=cfg.DATALOADER.NUM_WORKERS,

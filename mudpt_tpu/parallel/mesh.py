@@ -68,7 +68,7 @@ def build_mesh(cfg=None, devices=None) -> MeshContext:
     return MeshContext(Mesh(arr, ("data", "model")))
 
 
-def shard_batch(ctx: MeshContext, batch: dict) -> dict:
+def shard_batch(ctx: MeshContext, batch: dict, host_local: bool = False) -> dict:
     """Pad the batch to a multiple of n_data and shard it on the data axis.
 
     Multi-process (pod) mode: every host's input pipeline produces the SAME
@@ -81,6 +81,32 @@ def shard_batch(ctx: MeshContext, batch: dict) -> dict:
     item sharding is the scale-up path.)"""
     n_proc = jax.process_count()
     out = {}
+    if host_local and n_proc > 1:
+        # DATALOADER.HOST_SHARD: ``batch`` is THIS host's rows of the global
+        # batch.  The hosts' row blocks are contiguous along the data axis
+        # (build_mesh lays devices out in id order), so each local shard
+        # must tile the per-host slice of the data axis evenly.
+        if ctx.n_data % n_proc:
+            raise ValueError(
+                f"host-sharded batches need the data axis ({ctx.n_data}) "
+                f"to divide by the process count ({n_proc}); use "
+                "DATALOADER.HOST_SHARD False for this mesh"
+            )
+        rows_unit = ctx.n_data // n_proc
+        for k, v in batch.items():
+            v = np.asarray(v)
+            rem = v.shape[0] % rows_unit
+            if rem:
+                pad = rows_unit - rem
+                widths = [(0, pad)] + [(0, 0)] * (v.ndim - 1)
+                v = np.pad(v, widths)
+                if k == "valid":
+                    v[-pad:] = False
+            out[k] = jax.make_array_from_process_local_data(
+                ctx.batch_sharding, v,
+                global_shape=(v.shape[0] * n_proc,) + v.shape[1:],
+            )
+        return out
     for k, v in batch.items():
         v = np.asarray(v)
         rem = v.shape[0] % ctx.n_data

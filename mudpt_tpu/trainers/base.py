@@ -262,8 +262,9 @@ class TrainerBase:
         dispatch is async, so device_put overlaps with device compute."""
         it = iter(loader)
         prev = None
+        host_local = getattr(self.dm, "host_sharded", False)
         for batch in it:
-            cur = shard_batch(self.mesh, batch)
+            cur = shard_batch(self.mesh, batch, host_local=host_local)
             if prev is not None:
                 yield prev
             prev = cur

@@ -48,15 +48,21 @@ def main() -> None:
     cfg.OUTPUT_DIR = ""
     cfg.TRAINER.MUDPT.PREC = "fp32"
     cfg.PARALLEL.MODEL = 2  # dp x tp, spanning both hosts
+    if os.environ.get("POD_HOST_SHARD") == "1":
+        # scale-up input strategy: disjoint per-host item shards
+        cfg.DATALOADER.HOST_SHARD = True
 
     trainer = MuDPT(cfg, devices=jax.devices())
     assert trainer.mesh.mesh.devices.size == 8
+    host_local = trainer.dm.host_sharded
+    if os.environ.get("POD_HOST_SHARD") == "1":
+        assert host_local and len(trainer.dm._train_items) > 0
 
     losses = []
     it = iter(trainer.dm.train_loader)
     for _ in range(2):
         batch = next(it)
-        sharded = shard_batch(trainer.mesh, batch)
+        sharded = shard_batch(trainer.mesh, batch, host_local=host_local)
         trainer.trainable, trainer.opt_state, loss, acc = trainer._train_step(
             trainer.trainable, trainer.opt_state, trainer.frozen, trainer.aux,
             sharded,

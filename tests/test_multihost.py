@@ -175,3 +175,42 @@ def test_two_process_train_step_matches_single_process(tmp_path):
         assert mc, out[-3000:]
         csums.append(float(mc.group(1)))
     assert csums[0] == csums[1], csums
+
+
+def test_two_process_host_sharded_input(tmp_path):
+    """DATALOADER.HOST_SHARD: hosts decode disjoint item shards and feed
+    per-host batch slices; the pod must train in lockstep with finite,
+    host-identical (replicated) losses."""
+    import os
+    import re
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker = os.path.join(repo, "tests", "multihost_worker.py")
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env["POD_HOST_SHARD"] = "1"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(pid), str(port)],
+            env=env, cwd=repo, stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True,
+        )
+        for pid in (0, 1)
+    ]
+    outs = [p.communicate(timeout=480)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-3000:]
+    per_host = []
+    for out in outs:
+        m = re.search(r"LOSSES pid=\d \[([-\d.e, ]+)\]", out)
+        assert m, out[-3000:]
+        losses = [float(x) for x in m.group(1).split(",")]
+        assert all(l == l and l < 100 for l in losses), losses
+        per_host.append(losses)
+    assert per_host[0] == per_host[1], per_host
