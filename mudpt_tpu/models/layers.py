@@ -162,7 +162,7 @@ def residual_block(p, x: jax.Array, n_head: int, mask=None, causal=False) -> jax
             p["attn"]["out_w"], p["attn"]["out_b"],
             n_head, causal,
         )
-        mlp_fn = mlp_halfblock if D <= 768 else mlp_halfblock_chunked
+        mlp_fn = mlp_halfblock if D <= 1024 else mlp_halfblock_chunked
         return mlp_fn(
             x,
             p["ln_2"]["scale"], p["ln_2"]["bias"],

@@ -658,7 +658,9 @@ def _mlp_fwd(x, ln_s, ln_b, fc_w, fc_b, proj_w, proj_b):
     B, S, D = x.shape
     Dh = fc_w.shape[1]
     params = (ln_s, ln_b, fc_w, fc_b, proj_w, proj_b)
-    if _SAVE_ACTS:
+    # h-saving at D=1024 puts ~2.1 MB/img/layer more in HBM and measured an
+    # OOM at useful batch sizes -- wide monolithic MLP uses recompute
+    if _SAVE_ACTS and D <= 768:
         y, h = _call_mlp(
             _mlp_fwd_save_kernel, x, params, (),
             (
