@@ -231,10 +231,8 @@ def _run(args) -> None:
         # towers take the full in-kernel recompute — ops/fused_block.py),
         # XLA blocks recompute the whole forward under full remat
         if _rbi() == "pallas":
-            frac = _FB.SAVED_FWD_FRACTION
-            reco = _FB.SAVED_FWD_FRACTION_RECOMPUTE
-            vis_frac = frac if clip_cfg.vision_width <= 768 else reco
-            txt_frac = frac if clip_cfg.transformer_width <= 768 else reco
+            vis_frac = _FB.saved_fraction_for_width(clip_cfg.vision_width)
+            txt_frac = _FB.saved_fraction_for_width(clip_cfg.transformer_width)
             recompute = img_fwd * (1.0 - vis_frac) + txt_fwd * (1.0 - txt_frac)
         else:
             recompute = (img_fwd + txt_fwd) if _T._REMAT_MODE != "none" else 0.0

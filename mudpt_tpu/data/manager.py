@@ -58,7 +58,8 @@ class DataManager:
             test_tf = build_transform(cfg, is_train=False)
             self.train_loader = GrainLoader(
                 self._train_items, train_tf, self._train_bs,
-                shuffle=True, drop_last=True, seed=cfg.SEED,
+                shuffle=cfg.DATALOADER.TRAIN_X.SAMPLER == "random",
+                drop_last=True, seed=cfg.SEED,
             )
             self.val_loader = (
                 GrainLoader(dataset.val, test_tf, cfg.DATALOADER.TEST.BATCH_SIZE)
@@ -73,8 +74,10 @@ class DataManager:
             from mudpt_tpu.data.tfdata import TFDataLoader
 
             size = cfg.INPUT.SIZE[0]
+            shuf = cfg.DATALOADER.TRAIN_X.SAMPLER == "random"
             mk = lambda items, bs, train: TFDataLoader(
-                items, bs, size=size, is_train=train, shuffle=train,
+                items, bs, size=size, is_train=train,
+                shuffle=train and shuf,
                 drop_last=train, seed=cfg.SEED,
                 mean=cfg.INPUT.PIXEL_MEAN, std=cfg.INPUT.PIXEL_STD,
             )

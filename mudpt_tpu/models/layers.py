@@ -141,19 +141,15 @@ def resolve_block_impl() -> str:
 
 def residual_block(p, x: jax.Array, n_head: int, mask=None, causal=False) -> jax.Array:
     """One pre-LN residual block (reference clip/model.py:177-198)."""
-    # Pallas half-block kernels hold weights + intermediates in VMEM.  Up to
-    # D=768 (ViT-B) both halves run monolithic; at D<=1024 (ViT-L/14) the
-    # attention half still fits but the MLP weights alone are ~17 MB, so the
-    # MLP half streams its fc/proj weights in hidden-dim chunks
-    # (ops/fused_block.mlp_halfblock_chunked — measured on-chip at D=1024,
-    # docs/BENCHMARKS.md).  Wider than 1024 falls back to XLA.
+    # Pallas half-block kernels hold weights + intermediates in VMEM; both
+    # halves run monolithic up to D=1024 (ViT-L/14) under the raised Mosaic
+    # scoped-VMEM cap (attention ~17 MB, MLP ~23 MB — ops/fused_block.py).
+    # Wider than 1024 falls back to XLA; a chunked-weight MLP kernel
+    # (ops/fused_block.mlp_halfblock_chunked, fully tested) is the starting
+    # point if such a tower ever needs the fused path.
     D = x.shape[-1]
     if resolve_block_impl() == "pallas" and (mask is None or causal) and D <= 1024:
-        from mudpt_tpu.ops.fused_block import (
-            attn_halfblock,
-            mlp_halfblock,
-            mlp_halfblock_chunked,
-        )
+        from mudpt_tpu.ops.fused_block import attn_halfblock, mlp_halfblock
 
         x = attn_halfblock(
             x,
@@ -162,8 +158,7 @@ def residual_block(p, x: jax.Array, n_head: int, mask=None, causal=False) -> jax
             p["attn"]["out_w"], p["attn"]["out_b"],
             n_head, causal,
         )
-        mlp_fn = mlp_halfblock if D <= 1024 else mlp_halfblock_chunked
-        return mlp_fn(
+        return mlp_halfblock(
             x,
             p["ln_2"]["scale"], p["ln_2"]["bias"],
             p["mlp"]["fc_w"], p["mlp"]["fc_b"],

@@ -72,6 +72,21 @@ def save_acts_enabled() -> bool:
     return _SAVE_ACTS
 
 
+def saved_fraction_for_width(width: int) -> float:
+    """Forward-FLOPs fraction the backward skips at a given tower width,
+    matching the per-width gating in this module: D<=768 saves qkv + MLP
+    pre-activation (0.96); 768<D<=1024 saves qkv but the MLP half recomputes
+    its fc (~0.65); wider falls back to full-recompute behavior (0.42).
+    Recompute mode is 0.42 everywhere."""
+    if not _SAVE_ACTS:
+        return SAVED_FWD_FRACTION_RECOMPUTE
+    if width <= 768:
+        return 0.96
+    if width <= 1024:
+        return 0.65
+    return SAVED_FWD_FRACTION_RECOMPUTE
+
+
 @contextlib.contextmanager
 def saved_acts(on: bool):
     """Trace-time scope for the backward strategy.  Values are unaffected

@@ -419,17 +419,22 @@ class TrainerBase:
 
         sub = os.path.join(directory, self.model_name)
         if os.path.exists(os.path.join(sub, "model-best.pth.tar")):
-            resolved = 0  # sentinel for "best"
+            resolved = 0  # sentinel: the best checkpoint
         else:
             eps = []
             for path in glob.glob(os.path.join(sub, "model.pth.tar-*")):
                 m = _re.search(r"model\.pth\.tar-(\d+)$", path)
                 if m:
                     eps.append(int(m.group(1)))
-            resolved = max(eps, default=0)
+            resolved = max(eps, default=-1)  # -1 sentinel: nothing found
         from mudpt_tpu.parallel.multihost import broadcast_from_primary
 
         resolved = int(broadcast_from_primary(np.int32(resolved)))
+        if resolved < 0:
+            raise FileNotFoundError(
+                f"No checkpoints under {sub!r} (neither model-best.pth.tar "
+                "nor model.pth.tar-<epoch>) — check MODEL.INIT_WEIGHTS"
+            )
         return None if resolved == 0 else resolved
 
     def load_model(self, directory: Optional[str], epoch: Optional[int] = None):

@@ -53,26 +53,52 @@ def make_lr_schedule(optim_cfg, steps_per_epoch: int):
     return schedule
 
 
+def _sgd_momentum_with_dampening(momentum: float, dampening: float):
+    """torch.optim.SGD momentum buffer with dampening:
+    buf_0 = g_0; buf_t = momentum*buf_{t-1} + (1-dampening)*g_t."""
+    import jax
+    import jax.numpy as jnp
+
+    def init(params):
+        return {
+            "buf": jax.tree_util.tree_map(jnp.zeros_like, params),
+            "step": jnp.zeros([], jnp.int32),
+        }
+
+    def update(grads, state, params=None):
+        first = state["step"] == 0
+        buf = jax.tree_util.tree_map(
+            lambda b, g: jnp.where(
+                first, g, momentum * b + (1.0 - dampening) * g
+            ),
+            state["buf"],
+            grads,
+        )
+        return buf, {"buf": buf, "step": state["step"] + 1}
+
+    import optax as _optax
+
+    return _optax.GradientTransformation(init, update)
+
+
 def build_optimizer(optim_cfg, steps_per_epoch: int) -> Tuple[optax.GradientTransformation, object]:
     schedule = make_lr_schedule(optim_cfg, steps_per_epoch)
     name = optim_cfg.NAME.lower()
     if name == "sgd":
         dampening = getattr(optim_cfg, "SGD_DAMPNING", 0.0)  # ref typo kept
         if dampening:
-            # torch semantics: buf = momentum*buf + (1-dampening)*grad;
-            # optax.trace has no dampening knob, so pre-scale the gradient.
-            # (torch skips dampening on the very first update; with the
-            # reference's shipped dampening=0 this path never runs — kept
-            # for config-surface completeness)
-            momentum_tx = optax.chain(
-                optax.scale(1.0 - dampening),
-                optax.trace(
-                    decay=optim_cfg.MOMENTUM, nesterov=optim_cfg.SGD_NESTEROV
-                ),
-                optax.scale_by_learning_rate(schedule),
-            )
+            # torch semantics exactly: buf_0 = g_0 (dampening skipped on the
+            # first update), then buf = momentum*buf + (1-dampening)*g.
+            # torch also rejects nesterov with nonzero dampening.
+            if optim_cfg.SGD_NESTEROV:
+                raise ValueError(
+                    "Nesterov momentum requires zero SGD_DAMPNING "
+                    "(torch.optim.SGD semantics)"
+                )
             tx = optax.chain(
-                optax.add_decayed_weights(optim_cfg.WEIGHT_DECAY), momentum_tx
+                optax.add_decayed_weights(optim_cfg.WEIGHT_DECAY),
+                _sgd_momentum_with_dampening(optim_cfg.MOMENTUM, dampening),
+                optax.scale_by_learning_rate(schedule),
             )
         else:
             tx = optax.chain(

@@ -85,8 +85,8 @@ def test_validate_zeroshot_plumbing(tmp_path):
         [sys.executable, "tools/validate_zeroshot.py",
          "--dataset_root", str(tmp_path),
          "--backbone", "test-tiny", "--backbone_path", "random",
-         "--datasets", "synthetic",
-         "INPUT.SIZE", "(32, 32)", "DATALOADER.TEST.BATCH_SIZE", "8"],
+         "INPUT.SIZE", "(32, 32)", "DATALOADER.TEST.BATCH_SIZE", "8",
+         "--datasets", "synthetic"],
         capture_output=True, text=True, timeout=300,
     )
     assert res.returncode == 0, res.stdout[-2000:] + res.stderr[-2000:]

@@ -68,8 +68,8 @@ def test_trainer_params_reflection():
 def test_sgd_dampening_semantics():
     """SGD_DAMPNING (reference key, torch semantics): with dampening d the
     momentum buffer accumulates (1-d)*grad, so after two identical-gradient
-    steps the applied update is lr*(1-d)*(1+momentum)*g (vs torch's
-    first-step quirk, see optim.py comment)."""
+    steps the update follows torch.optim.SGD exactly, INCLUDING the
+    first-step quirk (buf_0 = g, dampening not applied)."""
     import jax.numpy as jnp
     import numpy as np
 
@@ -91,9 +91,17 @@ def test_sgd_dampening_semantics():
     state = tx.init(params)
     upd1, state = tx.update(g, state, params)
     upd2, state = tx.update(g, state, params)
-    # buf1 = 0.8*g -> upd1 = -0.8*g; buf2 = 0.5*0.8g + 0.8g = 1.2g
-    np.testing.assert_allclose(np.asarray(upd1["w"]), -0.8, rtol=1e-6)
-    np.testing.assert_allclose(np.asarray(upd2["w"]), -1.2, rtol=1e-6)
+    # torch: buf1 = g (dampening skipped on the FIRST update) -> upd1 = -g;
+    # buf2 = 0.5*g + 0.8*g = 1.3g
+    np.testing.assert_allclose(np.asarray(upd1["w"]), -1.0, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(upd2["w"]), -1.3, rtol=1e-6)
+
+    # torch rejects nesterov + dampening
+    import pytest
+
+    cfg.SGD_NESTEROV = True
+    with pytest.raises(ValueError):
+        build_optimizer(cfg, steps_per_epoch=1)
 
 
 def test_train_sampler_config():

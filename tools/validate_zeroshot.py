@@ -11,7 +11,10 @@ references the MuDPT paper benchmarks against).
 Usage (requires a real checkpoint + dataset roots):
   python tools/validate_zeroshot.py --dataset_root ~/data \
       --backbone_path ~/.cache/clip/ViT-B-16.pt \
+      [KEY VALUE config overrides ...] \
       [--datasets caltech101 oxford_pets ...] [--tolerance 1.0]
+(place KEY VALUE overrides before --datasets — its greedy nargs would
+swallow them otherwise; the tool errors out if that happens)
 
 Exit code 0 iff every measured accuracy is within tolerance of the
 published value.
@@ -51,9 +54,20 @@ def main() -> int:
     ap.add_argument("--datasets", nargs="+", default=sorted(PUBLISHED_VIT_B16))
     ap.add_argument("--tolerance", type=float, default=1.0,
                     help="max |measured - published| in accuracy points")
-    ap.add_argument("opts", nargs=argparse.REMAINDER,
-                    help="trailing KEY VALUE config overrides")
-    args = ap.parse_args()
+    # trailing KEY VALUE config overrides: taken from the unparsed leftovers
+    # (an argparse.REMAINDER positional after --datasets nargs='+' would be
+    # swallowed BY --datasets and silently dropped)
+    args, opts = ap.parse_known_args()
+    args.opts = opts
+    bad = [o for o in opts if o.startswith("-")]
+    if bad:
+        ap.error(f"unknown flags {bad}; config overrides are KEY VALUE pairs")
+    swallowed = [d for d in args.datasets if d.isupper() and "." in d]
+    if swallowed:
+        ap.error(
+            f"--datasets swallowed config override keys {swallowed}: put "
+            "KEY VALUE overrides BEFORE --datasets"
+        )
 
     from mudpt_tpu.config import default_config, merge_from_file, merge_from_list
     from mudpt_tpu.trainers import build_trainer
