@@ -87,7 +87,7 @@ def test_validate_zeroshot_plumbing(tmp_path):
          "--backbone", "test-tiny", "--backbone_path", "random",
          "INPUT.SIZE", "(32, 32)", "DATALOADER.TEST.BATCH_SIZE", "8",
          "--datasets", "synthetic"],
-        capture_output=True, text=True, timeout=300,
+        capture_output=True, text=True, timeout=900,
     )
     assert res.returncode == 0, res.stdout[-2000:] + res.stderr[-2000:]
     assert "no published value" in res.stdout
