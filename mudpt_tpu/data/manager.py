@@ -17,6 +17,25 @@ def _import_datasets() -> None:
     import mudpt_tpu.data.datasets  # noqa: F401
 
 
+def _train_shuffle(cfg) -> bool:
+    """DATALOADER.TRAIN_X.SAMPLER -> shuffle flag, accepting both our
+    vocabulary and Dassl's class names (reference configs use
+    'RandomSampler'/'SequentialSampler'); anything else is an error, not a
+    silent sequential run over the class-grouped few-shot item list."""
+    s = cfg.DATALOADER.TRAIN_X.SAMPLER
+    canon = {
+        "random": True, "randomsampler": True,
+        "sequential": False, "sequentialsampler": False,
+    }
+    key = s.lower()
+    if key not in canon:
+        raise ValueError(
+            f"DATALOADER.TRAIN_X.SAMPLER={s!r}: expected random|sequential "
+            "(or Dassl's RandomSampler/SequentialSampler)"
+        )
+    return canon[key]
+
+
 class DataManager:
     def __init__(self, cfg, dataset=None):
         self.cfg = cfg
@@ -58,7 +77,7 @@ class DataManager:
             test_tf = build_transform(cfg, is_train=False)
             self.train_loader = GrainLoader(
                 self._train_items, train_tf, self._train_bs,
-                shuffle=cfg.DATALOADER.TRAIN_X.SAMPLER == "random",
+                shuffle=_train_shuffle(cfg),
                 drop_last=True, seed=cfg.SEED,
             )
             self.val_loader = (
@@ -74,7 +93,7 @@ class DataManager:
             from mudpt_tpu.data.tfdata import TFDataLoader
 
             size = cfg.INPUT.SIZE[0]
-            shuf = cfg.DATALOADER.TRAIN_X.SAMPLER == "random"
+            shuf = _train_shuffle(cfg)
             mk = lambda items, bs, train: TFDataLoader(
                 items, bs, size=size, is_train=train,
                 shuffle=train and shuf,
@@ -98,7 +117,7 @@ class DataManager:
             self._train_items,
             train_tf,
             self._train_bs,
-            shuffle=cfg.DATALOADER.TRAIN_X.SAMPLER == "random",
+            shuffle=_train_shuffle(cfg),
             drop_last=True,
             num_workers=cfg.DATALOADER.NUM_WORKERS,
             seed=cfg.SEED,

@@ -56,14 +56,13 @@ def attention(
     x: jax.Array,
     n_head: int,
     mask: Optional[jax.Array] = None,
-    causal: bool = False,
 ) -> jax.Array:
     """Multi-head self-attention, batch-first: x (B, S, D) -> (B, S, D).
 
     ``mask`` is an additive (S, S) float array (the text tower's causal mask,
-    reference clip/model.py:810-816) or None for full attention; ``causal``
-    marks the mask as the standard causal one so the Pallas kernel can build
-    it internally.
+    reference clip/model.py:810-816) or None for full attention.  (The fused
+    Pallas path lives in residual_block/ops/fused_block.py, which takes the
+    causal flag directly.)
     """
     B, S, D = x.shape
     head_dim = D // n_head
@@ -164,6 +163,6 @@ def residual_block(p, x: jax.Array, n_head: int, mask=None, causal=False) -> jax
             p["mlp"]["fc_w"], p["mlp"]["fc_b"],
             p["mlp"]["proj_w"], p["mlp"]["proj_b"],
         )
-    x = x + attention(p["attn"], layer_norm(p["ln_1"], x), n_head, mask, causal)
+    x = x + attention(p["attn"], layer_norm(p["ln_1"], x), n_head, mask)
     x = x + mlp(p["mlp"], layer_norm(p["ln_2"], x))
     return x

@@ -235,22 +235,12 @@ class TrainerBase:
         checkpoints make resume exact — the recovery story, SURVEY.md §5)."""
         if not self.cfg.RESUME or self.trainable is None:
             return 0
-        import glob
-        import re as _re
-
-        pattern = os.path.join(self.cfg.RESUME, self.model_name, "model.pth.tar-*")
-        epochs = []
-        for path in glob.glob(pattern):
-            m = _re.search(r"model\.pth\.tar-(\d+)$", path)
-            if m:
-                epochs.append(int(m.group(1)))
-        # pod runs: the primary's filesystem decides (checkpoints are written
-        # by the primary only; other hosts' disks may not have them)
-        from mudpt_tpu.parallel.multihost import broadcast_from_primary
-
-        last = int(broadcast_from_primary(np.int32(max(epochs, default=0))))
+        last = self._latest_epoch_on_primary(self.cfg.RESUME)
         if not last:
-            print(f"RESUME requested but no checkpoints under {pattern}")
+            print(
+                "RESUME requested but no checkpoints under "
+                f"{os.path.join(self.cfg.RESUME, self.model_name)}"
+            )
             return 0
         self.load_model(self.cfg.RESUME, epoch=last)
         self.global_step = last * max(1, len(self.dm.train_loader))
@@ -411,31 +401,49 @@ class TrainerBase:
         )
         print(f"Checkpoint saved to {path}")
 
-    def _resolve_checkpoint_epoch(self, directory: str) -> Optional[int]:
-        """None (= model-best.pth.tar) when a best checkpoint exists, else
-        the highest saved epoch.  Primary's filesystem decides (pod-safe)."""
+    def _latest_epoch_on_primary(self, directory: str) -> int:
+        """Highest saved epoch under <directory>/<model_name> as seen by the
+        PRIMARY host (0 if none), broadcast to all hosts — the single owner
+        of the model.pth.tar-<N> filename contract (used by resume and
+        MODEL.INIT_WEIGHTS)."""
         import glob
         import re as _re
 
-        sub = os.path.join(directory, self.model_name)
-        if os.path.exists(os.path.join(sub, "model-best.pth.tar")):
-            resolved = 0  # sentinel: the best checkpoint
-        else:
-            eps = []
-            for path in glob.glob(os.path.join(sub, "model.pth.tar-*")):
-                m = _re.search(r"model\.pth\.tar-(\d+)$", path)
-                if m:
-                    eps.append(int(m.group(1)))
-            resolved = max(eps, default=-1)  # -1 sentinel: nothing found
+        eps = [0]
+        for path in glob.glob(
+            os.path.join(directory, self.model_name, "model.pth.tar-*")
+        ):
+            m = _re.search(r"model\.pth\.tar-(\d+)$", path)
+            if m:
+                eps.append(int(m.group(1)))
         from mudpt_tpu.parallel.multihost import broadcast_from_primary
 
-        resolved = int(broadcast_from_primary(np.int32(resolved)))
-        if resolved < 0:
+        return int(broadcast_from_primary(np.int32(max(eps))))
+
+    def _resolve_checkpoint_epoch(self, directory: str) -> Optional[int]:
+        """None (= model-best.pth.tar) when a best checkpoint exists, else
+        the highest saved epoch.  Primary's filesystem decides (pod-safe)."""
+        from mudpt_tpu.parallel.multihost import broadcast_from_primary
+
+        sub = os.path.join(directory, self.model_name)
+        has_best = bool(
+            int(
+                broadcast_from_primary(
+                    np.int32(
+                        os.path.exists(os.path.join(sub, "model-best.pth.tar"))
+                    )
+                )
+            )
+        )
+        if has_best:
+            return None
+        latest = self._latest_epoch_on_primary(directory)
+        if latest == 0:
             raise FileNotFoundError(
                 f"No checkpoints under {sub!r} (neither model-best.pth.tar "
                 "nor model.pth.tar-<epoch>) — check MODEL.INIT_WEIGHTS"
             )
-        return None if resolved == 0 else resolved
+        return latest
 
     def load_model(self, directory: Optional[str], epoch: Optional[int] = None):
         """Load learned prompt weights; class-dependent buffers stay as the
@@ -451,13 +459,29 @@ class TrainerBase:
 
         host_tree = jax.device_get(self.trainable)
         ckpt_epoch = -1
+        load_error = ""
         if jax.process_index() == 0:
-            loaded, _, meta = load_checkpoint(directory, self.model_name, epoch)
-            host_tree = restore_into(host_tree, loaded)
-            ckpt_epoch = int(meta.get("epoch") or -1)
-        host_tree, ckpt_epoch = broadcast_from_primary(
-            (host_tree, np.int32(ckpt_epoch))
+            # a primary-side failure must be BROADCAST, not raised alone —
+            # otherwise the other hosts deadlock inside the broadcast below
+            try:
+                loaded, _, meta = load_checkpoint(
+                    directory, self.model_name, epoch
+                )
+                host_tree = restore_into(host_tree, loaded)
+                ckpt_epoch = int(meta.get("epoch") or -1)
+            except Exception as e:  # noqa: BLE001 — re-raised on every host
+                load_error = f"{type(e).__name__}: {e}"
+        err = np.frombuffer(
+            load_error.encode()[:512].ljust(512, b"\0"), np.uint8
+        ).copy()
+        host_tree, ckpt_epoch, err = broadcast_from_primary(
+            (host_tree, np.int32(ckpt_epoch), err)
         )
+        err_msg = bytes(np.asarray(err)).rstrip(b"\0").decode(errors="replace")
+        if err_msg:
+            raise RuntimeError(
+                f"checkpoint load failed on the primary host: {err_msg}"
+            )
         print(
             f"Loading weights for {self.model_name} from {directory} "
             f"(epoch={int(ckpt_epoch)})"

@@ -86,7 +86,8 @@ def build_optimizer(optim_cfg, steps_per_epoch: int) -> Tuple[optax.GradientTran
     name = optim_cfg.NAME.lower()
     if name == "sgd":
         dampening = getattr(optim_cfg, "SGD_DAMPNING", 0.0)  # ref typo kept
-        if dampening:
+        # torch only consults dampening when momentum != 0
+        if dampening and optim_cfg.MOMENTUM:
             # torch semantics exactly: buf_0 = g_0 (dampening skipped on the
             # first update), then buf = momentum*buf + (1-dampening)*g.
             # torch also rejects nesterov with nonzero dampening.
