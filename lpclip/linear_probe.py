@@ -44,15 +44,14 @@ def refine_binary(
     two endpoints on val, keep the better, halve the interval toward it."""
     test_accs = []
     for step in range(num_step):
-        _, acc_left = fit_eval(c_left, xtr, ytr, xva, yva)
+        clf_left, acc_left = fit_eval(c_left, xtr, ytr, xva, yva)
         clf_right, acc_right = fit_eval(c_right, xtr, ytr, xva, yva)
         if acc_left < acc_right:
             c_final, clf_final = c_right, clf_right
             next_left = 0.5 * (np.log10(c_right) + np.log10(c_left))
             next_right = np.log10(c_right)
         else:
-            clf_final, _ = fit_eval(c_left, xtr, ytr, xva, yva)
-            c_final = c_left
+            c_final, clf_final = c_left, clf_left
             next_right = 0.5 * (np.log10(c_right) + np.log10(c_left))
             next_left = np.log10(c_left)
         test_acc = 100.0 * float((clf_final.predict(xte) == yte).mean())

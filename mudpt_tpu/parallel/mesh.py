@@ -58,11 +58,28 @@ class MeshContext:
 
 
 def build_mesh(cfg=None, devices=None) -> MeshContext:
+    import warnings
+
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     n_model = (cfg.PARALLEL.MODEL if cfg is not None else 1) or 1
-    n_model = min(n_model, n)
+    if n_model > n:
+        raise ValueError(
+            f"PARALLEL.MODEL={n_model} exceeds the {n} available devices"
+        )
     n_data = (cfg.PARALLEL.DATA if cfg is not None else 0) or (n // n_model)
+    if n_data * n_model > n:
+        raise ValueError(
+            f"PARALLEL.DATA x PARALLEL.MODEL = {n_data}x{n_model} exceeds "
+            f"the {n} available devices"
+        )
+    if n_data * n_model < n:
+        warnings.warn(
+            f"mesh uses {n_data * n_model} of {n} devices "
+            f"(data={n_data}, model={n_model}); set PARALLEL.DATA/MODEL to "
+            "cover every chip",
+            stacklevel=2,
+        )
     used = devices[: n_data * n_model]
     arr = np.asarray(used).reshape(n_data, n_model)
     return MeshContext(Mesh(arr, ("data", "model")))

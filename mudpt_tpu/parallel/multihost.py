@@ -20,10 +20,15 @@ import numpy as np
 def maybe_initialize_distributed() -> bool:
     """Initialize the JAX distributed runtime when launched as one process
     of a multi-host job (env-driven: COORDINATOR_ADDRESS / NUM_PROCESSES /
-    PROCESS_ID, or any standard TPU pod environment jax auto-detects).
-    Returns True if a multi-process runtime is active."""
-    if jax.process_count() > 1:
-        return True
+    PROCESS_ID, or a standard multi-host TPU pod environment).
+    Returns True if a multi-process runtime is active.
+
+    ORDERING MATTERS: ``jax.distributed.initialize`` must run before
+    anything that initializes the XLA backend — even ``jax.process_count()``
+    does — so the already-initialized check uses
+    ``jax.distributed.is_initialized()`` and the env probes come first."""
+    if jax.distributed.is_initialized():
+        return jax.process_count() > 1
     coord = os.environ.get("COORDINATOR_ADDRESS")
     if coord:
         jax.distributed.initialize(
@@ -32,7 +37,11 @@ def maybe_initialize_distributed() -> bool:
             process_id=int(os.environ["PROCESS_ID"]),
         )
         return jax.process_count() > 1
-    if os.environ.get("TPU_WORKER_HOSTNAMES") and os.environ.get("MEGASCALE"):
+    # multi-host TPU pod: several workers listed, or any MEGASCALE_* config
+    # (the launcher env carries prefixed variables, never a bare MEGASCALE)
+    hostnames = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    megascale = any(k.startswith("MEGASCALE") for k in os.environ)
+    if ("," in hostnames) or megascale:
         jax.distributed.initialize()
         return jax.process_count() > 1
     return False

@@ -185,6 +185,12 @@ class ClipBPE:
         text = _WS_RE.sub(" ", _fix_text(text)).strip().lower()
         ids: List[int] = []
         for piece in _SPLIT_RE.findall(text):
+            # special tokens map to their single id (the reference seeds its
+            # BPE cache with them, simple_tokenizer.py:67-68) — without this
+            # they would be byte-mapped and BPE-split into subwords
+            if piece in ("<|startoftext|>", "<|endoftext|>"):
+                ids.append(self.encoder[piece])
+                continue
             mapped = "".join(self.byte_to_u[b] for b in piece.encode("utf-8"))
             ids.extend(self.encoder[sub] for sub in self._merge_word(mapped))
         return ids

@@ -125,6 +125,20 @@ def restore_into(template, loaded: dict, *, strict: bool = False):
                     raise KeyError(f"Missing checkpoint key {k!r}")
                 out[k] = v
         return out
+    if isinstance(template, (list, tuple)):
+        # _flatten writes sequence entries as '[i]' keys, which _unflatten
+        # rebuilds as a dict — graft them back positionally (without this,
+        # tuple/list subtrees silently kept the template's values)
+        out_seq = []
+        for i, v in enumerate(template):
+            key = f"[{i}]"
+            if isinstance(loaded, dict) and key in loaded:
+                out_seq.append(restore_into(v, loaded[key], strict=strict))
+            else:
+                if strict:
+                    raise KeyError(f"Missing checkpoint key {key!r}")
+                out_seq.append(v)
+        return type(template)(out_seq)
     if loaded is None or template is None:
         return template
     arr = np.asarray(loaded)

@@ -43,15 +43,32 @@ class _Tee:
 
 
 def setup_logger(output_dir: Optional[str]) -> None:
-    """Tee stdout/stderr to ``<output_dir>/log.txt`` (append)."""
+    """Tee stdout/stderr to ``<output_dir>/log.txt`` (append).
+
+    Pod runs: non-primary hosts tee to ``log.txt-host<i>`` so hosts sharing
+    an OUTPUT_DIR filesystem never interleave or race on one file.  (The
+    process index is only consulted when jax.distributed is ALREADY
+    initialized — probing it here must not initialize a backend.)"""
     if not output_dir:
         return
     os.makedirs(output_dir, exist_ok=True)
-    path = os.path.join(output_dir, "log.txt")
+    suffix = ""
+    try:
+        import jax
+
+        if jax.distributed.is_initialized() and jax.process_index() > 0:
+            suffix = f"-host{jax.process_index()}"
+    except Exception:
+        pass
+    path = os.path.join(output_dir, f"log.txt{suffix}")
     if os.path.exists(path):
-        # keep old logs distinguishable, mirroring Dassl's timestamped rotation
+        # keep old logs distinguishable, mirroring Dassl's timestamped
+        # rotation; tolerate a concurrent rotation of the same file
         stamp = time.strftime("%Y-%m-%d-%H-%M-%S")
-        os.rename(path, os.path.join(output_dir, f"log.txt-{stamp}"))
+        try:
+            os.rename(path, os.path.join(output_dir, f"log.txt{suffix}-{stamp}"))
+        except (FileNotFoundError, OSError):
+            pass
     fh = open(path, "a", buffering=1)
     sys.stdout = _Tee(sys.__stdout__, fh)
     sys.stderr = _Tee(sys.__stderr__, fh)

@@ -21,14 +21,19 @@ class StepTimer:
         self._avg: Optional[float] = None
         self._last = None
         self._t0 = None
+        self._count = 0
 
     def start(self) -> None:
         self._t0 = time.perf_counter()
 
-    def stop(self, items: int = 0) -> float:
+    def stop(self) -> float:
         dt = time.perf_counter() - self._t0
         self._last = dt
-        # skip the first (compile) step when seeding the EMA
+        self._count += 1
+        # the FIRST step includes jit compilation (minutes on the remote-
+        # compile TPU) — never let it into the average; seed from step 2
+        if self._count == 1:
+            return dt
         if self._avg is None:
             self._avg = dt
         else:
@@ -37,10 +42,15 @@ class StepTimer:
 
     @property
     def avg(self) -> float:
-        return self._avg or 0.0
+        # before a post-compile sample exists, the last (compile) time is
+        # the only honest number available
+        if self._avg is not None:
+            return self._avg
+        return self._last or 0.0
 
     def throughput(self, items: int) -> float:
-        return items / self._avg if self._avg else 0.0
+        a = self.avg
+        return items / a if a else 0.0
 
 
 @contextlib.contextmanager

@@ -22,10 +22,6 @@ jax.config.update("jax_platforms", "cpu")
 def main() -> None:
     pid = int(sys.argv[1])
     port = sys.argv[2]
-    jax.distributed.initialize(
-        coordinator_address=f"127.0.0.1:{port}", num_processes=2, process_id=pid
-    )
-    assert jax.device_count() == 8 and jax.local_device_count() == 4
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from mudpt_tpu.config import default_config
@@ -34,6 +30,13 @@ def main() -> None:
     from mudpt_tpu.trainers import build_trainer  # noqa: F401 (registration)
     from mudpt_tpu.trainers.mudpt import MuDPT
 
+    # exercise the ENV-DRIVEN init path for real (it must run before any
+    # call that initializes the XLA backend)
+    os.environ["COORDINATOR_ADDRESS"] = f"127.0.0.1:{port}"
+    os.environ["NUM_PROCESSES"] = "2"
+    os.environ["PROCESS_ID"] = str(pid)
+    assert maybe_initialize_distributed() is True
+    assert jax.device_count() == 8 and jax.local_device_count() == 4
     assert maybe_initialize_distributed() is True  # already-initialized path
 
     cfg = default_config()

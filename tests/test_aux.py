@@ -108,3 +108,35 @@ def test_grain_pipeline(tmp_path):
     dm2 = DataManager(cfg)
     b2 = next(iter(dm2.train_loader))
     np.testing.assert_array_equal(batch["label"], b2["label"])
+
+
+def test_checkpoint_sequence_subtrees_roundtrip(tmp_path):
+    """list/tuple pytree nodes survive save -> load -> restore_into exactly
+    (their '[i]' flat keys unflatten to dicts and must be grafted back
+    positionally — they were silently dropped before the round-2 review)."""
+    import numpy as np
+
+    from mudpt_tpu.utils.checkpoint import (
+        load_checkpoint,
+        restore_into,
+        save_checkpoint,
+    )
+
+    tree = {
+        "pair": (np.arange(3, dtype=np.float32), np.ones(3, np.float32)),
+        "stack": [np.full(2, 7.0, np.float32)],
+        "w": np.zeros(4, np.float32),
+    }
+    save_checkpoint(str(tmp_path), "m", 1, tree)
+    loaded, _, _ = load_checkpoint(str(tmp_path), "m", 1)
+    template = {
+        "pair": (np.zeros(3, np.float32), np.zeros(3, np.float32)),
+        "stack": [np.zeros(2, np.float32)],
+        "w": np.ones(4, np.float32),
+    }
+    out = restore_into(template, loaded)
+    assert isinstance(out["pair"], tuple) and isinstance(out["stack"], list)
+    np.testing.assert_array_equal(np.asarray(out["pair"][0]), tree["pair"][0])
+    np.testing.assert_array_equal(np.asarray(out["pair"][1]), tree["pair"][1])
+    np.testing.assert_array_equal(np.asarray(out["stack"][0]), tree["stack"][0])
+    np.testing.assert_array_equal(np.asarray(out["w"]), tree["w"])

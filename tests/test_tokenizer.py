@@ -92,3 +92,16 @@ def test_fix_text_no_false_positive_on_roundtrip_valid_text():
 
     legit = "3×€5 prints"
     assert _fix_mojibake(legit) == legit
+
+
+def test_special_tokens_encode_to_single_ids():
+    """<|startoftext|>/<|endoftext|> inside text map to their single special
+    ids (the reference seeds its BPE cache with them,
+    simple_tokenizer.py:67-68), never to byte-level subword splits."""
+    from mudpt_tpu.tokenizer.bpe import get_tokenizer
+
+    tok = get_tokenizer()
+    assert tok.encode("<|endoftext|>") == [tok.eot]
+    assert tok.encode("<|startoftext|>") == [tok.sot]
+    ids = tok.encode("a photo <|endoftext|> trailing")
+    assert tok.eot in ids and ids.count(tok.eot) == 1

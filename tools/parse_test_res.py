@@ -40,16 +40,13 @@ def read_metrics_jsonl(path: str, split: str):
     return results
 
 
-_LOG_RE = re.compile(r"\* ?(\w+):? ([0-9.]+)%?")
-
-
 def read_log_txt(path: str, keywords):
     """Parse reference-style prose logs: lines like '* accuracy: 82.3%'."""
     results = {}
     with open(path, errors="replace") as f:
         for line in f:
             for kw in keywords:
-                m = re.search(rf"{kw}[:=\s]+([0-9.]+)", line)
+                m = re.search(rf"{re.escape(kw)}[:=\s]+([0-9.]+)", line)
                 if m:
                     results[kw] = float(m.group(1))
     return results

@@ -75,7 +75,10 @@ def main() -> int:
     failures = []
     for dataset in args.datasets:
         cfg = default_config()
-        merge_from_file(cfg, f"configs/datasets/{dataset}.yaml")
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        merge_from_file(
+            cfg, os.path.join(repo, "configs", "datasets", f"{dataset}.yaml")
+        )
         cfg.TRAINER.NAME = "ZeroshotCLIP"
         cfg.DATASET.ROOT = args.dataset_root
         cfg.DATASET.NUM_SHOTS = -1
