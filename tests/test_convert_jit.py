@@ -99,3 +99,43 @@ def test_state_dict_branch(tiny_sd, tmp_path):
     ref_cfg, ref_params = torch_state_dict_to_jax(tiny_sd)
     assert cfg == ref_cfg
     _assert_tree_equal(params, ref_params)
+
+
+def test_full_size_vitb16_architecture_inference():
+    """Shape inference on a REAL-architecture ViT-B/16 state dict (random
+    weights, built from the reference CLIP class): the inferred config must
+    equal the framework's VIT_B16 constants and every converted tensor must
+    exist with MXU-ready (in, out) layouts.  This is the exact code path a
+    real OpenAI checkpoint takes — only the weight values differ."""
+    import torch
+
+    from mudpt_tpu.models.clip import VIT_B16
+
+    torch.manual_seed(0)
+    mod = import_reference_clip()
+    model = mod.CLIP(
+        embed_dim=512,
+        image_resolution=224,
+        vision_layers=12,
+        vision_width=768,
+        vision_patch_size=16,
+        context_length=77,
+        vocab_size=49408,
+        transformer_width=512,
+        transformer_heads=8,
+        transformer_layers=12,
+        cfg=None,
+    ).eval()
+    cfg, params = torch_state_dict_to_jax(model.state_dict())
+    for field in (
+        "embed_dim", "image_resolution", "vision_layers", "vision_width",
+        "vision_patch_size", "context_length", "vocab_size",
+        "transformer_width", "transformer_heads", "transformer_layers",
+    ):
+        assert getattr(cfg, field) == getattr(VIT_B16, field), field
+    # stacked block weights in (layer, in, out) layout
+    assert params["visual"]["blocks"]["attn"]["qkv_w"].shape == (12, 768, 2304)
+    assert params["visual"]["blocks"]["mlp"]["fc_w"].shape == (12, 768, 3072)
+    assert params["text"]["blocks"]["attn"]["qkv_w"].shape == (12, 512, 1536)
+    assert params["visual"]["proj"].shape == (768, 512)
+    assert params["text"]["token_embedding"].shape == (49408, 512)
