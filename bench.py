@@ -151,9 +151,12 @@ def _run(args) -> None:
         return optax.apply_updates(tr, updates), opt_state, loss
 
     rng = np.random.RandomState(0)
+    # the reference casts images to the compute dtype before the conv
+    # (mudpt.py parse_batch -> image.type(self.dtype)); feeding bf16 also
+    # halves the H2D transfer
     images = jnp.asarray(
         rng.randn(args.batch, clip_cfg.image_resolution, clip_cfg.image_resolution, 3),
-        jnp.float32,
+        jnp.bfloat16,
     )
     labels = jnp.asarray(rng.randint(0, args.n_cls, args.batch), jnp.int32)
 

@@ -247,6 +247,20 @@ class TrainerBase:
         print(f"Resumed from epoch {last}")
         return last
 
+    def _cast_images(self, batch):
+        """Host-side image cast to the compute dtype for bf16 runs: the
+        forward casts anyway (identical rounding), and halving the pixels
+        halves host->device transfer — the scarcest resource on a tunneled
+        chip.  Mirrors the reference's image.type(self.dtype)
+        (mudpt.py:263-268)."""
+        if self.compute_dtype != jnp.bfloat16:
+            return batch
+        import ml_dtypes
+
+        batch = dict(batch)
+        batch["image"] = np.asarray(batch["image"]).astype(ml_dtypes.bfloat16)
+        return batch
+
     def _device_prefetch(self, loader):
         """Move the NEXT batch to device while the current step computes —
         dispatch is async, so device_put overlaps with device compute."""
@@ -254,7 +268,9 @@ class TrainerBase:
         prev = None
         host_local = getattr(self.dm, "host_sharded", False)
         for batch in it:
-            cur = shard_batch(self.mesh, batch, host_local=host_local)
+            cur = shard_batch(
+                self.mesh, self._cast_images(batch), host_local=host_local
+            )
             if prev is not None:
                 yield prev
             prev = cur
@@ -358,7 +374,7 @@ class TrainerBase:
     def evaluate(self, loader, split: str = "test") -> Dict[str, float]:
         evaluator = build_evaluator(self.cfg, self.num_classes, self.classnames)
         for batch in loader:
-            sb = shard_batch(self.mesh, batch)
+            sb = shard_batch(self.mesh, self._cast_images(batch))
             logits = self._eval_step(
                 self.trainable, self.frozen, self.aux, sb["image"]
             )
