@@ -148,8 +148,26 @@ def residual_block(p, x: jax.Array, n_head: int, mask=None, causal=False) -> jax
     # point if such a tower ever needs the fused path.
     D = x.shape[-1]
     if resolve_block_impl() == "pallas" and (mask is None or causal) and D <= 1024:
-        from mudpt_tpu.ops.fused_block import attn_halfblock, mlp_halfblock
+        from mudpt_tpu.ops.fused_block import (
+            attn_halfblock,
+            layer_fullblock,
+            mlp_halfblock,
+            save_acts_enabled,
+        )
 
+        if save_acts_enabled() and D <= 768:
+            # both halves in ONE program per direction: the inter-half
+            # residual/gradient stays in VMEM (ops/fused_block.py)
+            return layer_fullblock(
+                x,
+                p["ln_1"]["scale"], p["ln_1"]["bias"],
+                p["attn"]["qkv_w"], p["attn"]["qkv_b"],
+                p["attn"]["out_w"], p["attn"]["out_b"],
+                p["ln_2"]["scale"], p["ln_2"]["bias"],
+                p["mlp"]["fc_w"], p["mlp"]["fc_b"],
+                p["mlp"]["proj_w"], p["mlp"]["proj_b"],
+                n_head, causal,
+            )
         x = attn_halfblock(
             x,
             p["ln_1"]["scale"], p["ln_1"]["bias"],

@@ -718,3 +718,134 @@ def fused_attention_halfblock(x, ln_scale, ln_bias, qkv_w, qkv_b, out_w,
     return attn_halfblock(
         x, ln_scale, ln_bias, qkv_w, qkv_b, out_w, out_b, n_head, False
     )
+
+
+# ---------------------------------------------------------------------------
+# full-layer kernel: attention half + MLP half in ONE program (save-acts)
+# ---------------------------------------------------------------------------
+#
+# The residual stream between the two halves (y1 = x + attn_out) never
+# round-trips through HBM in forward, and in backward the inter-half
+# gradient dy1 stays in VMEM — vs the half-block pair this removes
+# ~2 reads + 1 write of (B, S, D) bf16 per layer per direction.  y1 IS
+# written once (the MLP-half backward needs its LayerNorm statistics; saving
+# it is cheaper than recomputing the whole attention half).  D <= 768 only:
+# the combined weights (~14 MB bf16) + buffers fit comfortably under the
+# raised VMEM cap at ViT-B width, while D=1024 would also re-inflate the
+# HBM save set that measured as an OOM for the MLP half.
+
+def _layer_fwd_kernel(x_ref, ln1_s, ln1_b, qkv_w, qkv_b, out_w, out_b,
+                      ln2_s, ln2_b, fc_w, fc_b, proj_w, proj_b,
+                      y_ref, y1_ref, qkv_ref, h_ref, acc_ref, *, n_head,
+                      causal):
+    x = x_ref[0]
+    S, D = x.shape
+    hd = D // n_head
+    qkv = _attn_project(x, ln1_s, ln1_b, qkv_w, qkv_b)
+    qkv_ref[0] = qkv
+    mask = _causal_mask(S) if causal else None
+    for h in range(n_head):
+        q, k, v = _head_qkv(qkv, D, hd, h)
+        p = _head_probs(q, k, hd ** -0.5, mask)
+        o = jax.lax.dot_general(
+            p.astype(x.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_ref[:, h * hd : (h + 1) * hd] = o.astype(acc_ref.dtype)
+    y1 = _attn_finish(x, acc_ref[...], out_w, out_b)
+    y1_ref[0] = y1
+    h32 = _mlp_pre(y1, ln2_s, ln2_b, fc_w, fc_b)
+    h_ref[0] = h32.astype(h_ref.dtype)
+    a = _quick_gelu(h32).astype(y1.dtype)
+    out = jax.lax.dot_general(
+        a, proj_w[...].astype(y1.dtype), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(y1.dtype) + proj_b[...].astype(y1.dtype)
+    y_ref[0] = y1 + out
+
+
+def _layer_bwd_kernel(x_ref, ln1_s, ln1_b, qkv_w, qkv_b, out_w, out_b,
+                      ln2_s, ln2_b, fc_w, fc_b, proj_w, proj_b,
+                      y1_sv, qkv_sv, h_sv, g_ref, dx_ref, dqkv_ref, *,
+                      n_head, causal):
+    y1 = y1_sv[0]
+    h32 = h_sv[0].astype(jnp.float32)
+    # MLP-half dx (== g + LN2-chain grad) stays in VMEM as the attention
+    # half's upstream gradient
+    dy1 = _mlp_bwd_core(y1, h32, g_ref[0], ln2_s, ln2_b, fc_w, proj_w)
+    dx_ref[0] = _attn_bwd_core(
+        x_ref[0], qkv_sv[0], dy1, ln1_s, ln1_b, qkv_w, out_w, dqkv_ref,
+        n_head=n_head, causal=causal,
+    )
+
+
+def _call_layer(kernel, x, params, extra, out_shapes, scratch, **kw):
+    B, S, D = x.shape
+    Dh = params[8].shape[1]
+    specs = [
+        _row(S, D),
+        _full(D), _full(D),
+        _full(D, 3 * D), _full(3 * D),
+        _full(D, D), _full(D),
+        _full(D), _full(D),
+        _full(D, Dh), _full(Dh),
+        _full(Dh, D), _full(D),
+    ] + [_row_spec_of(e) for e in extra]
+    return pl.pallas_call(
+        functools.partial(kernel, **kw),
+        grid=(B,),
+        in_specs=specs,
+        out_specs=jax.tree_util.tree_map(_row_spec_of, out_shapes),
+        out_shape=out_shapes,
+        scratch_shapes=scratch,
+        compiler_params=_COMPILER_PARAMS,
+        interpret=_interpret(),
+    )(x, *params, *extra)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(13, 14))
+def layer_fullblock(x, ln1_s, ln1_b, qkv_w, qkv_b, out_w, out_b,
+                    ln2_s, ln2_b, fc_w, fc_b, proj_w, proj_b,
+                    n_head: int, causal: bool = False):
+    """One full pre-LN residual layer (both halves) as a single Pallas
+    program in each direction.  Grads flow to x ONLY (frozen layer)."""
+    y, _ = _layer_fwd(x, ln1_s, ln1_b, qkv_w, qkv_b, out_w, out_b,
+                      ln2_s, ln2_b, fc_w, fc_b, proj_w, proj_b,
+                      n_head, causal)
+    return y
+
+
+def _layer_fwd(x, ln1_s, ln1_b, qkv_w, qkv_b, out_w, out_b,
+               ln2_s, ln2_b, fc_w, fc_b, proj_w, proj_b, n_head, causal):
+    B, S, D = x.shape
+    Dh = fc_w.shape[1]
+    params = (ln1_s, ln1_b, qkv_w, qkv_b, out_w, out_b,
+              ln2_s, ln2_b, fc_w, fc_b, proj_w, proj_b)
+    y, y1, qkv, h = _call_layer(
+        _layer_fwd_kernel, x, params, (),
+        (
+            jax.ShapeDtypeStruct((B, S, D), x.dtype),
+            jax.ShapeDtypeStruct((B, S, D), x.dtype),
+            jax.ShapeDtypeStruct((B, S, 3 * D), x.dtype),
+            jax.ShapeDtypeStruct((B, S, Dh), x.dtype),
+        ),
+        [pltpu.VMEM((S, D), jnp.float32)],
+        n_head=n_head, causal=causal,
+    )
+    return y, (x, y1, qkv, h, params)
+
+
+def _layer_bwd(n_head, causal, res, g):
+    x, y1, qkv, h, params = res
+    B, S, D = x.shape
+    dx = _call_layer(
+        _layer_bwd_kernel, x, params, (y1, qkv, h, g),
+        jax.ShapeDtypeStruct((B, S, D), x.dtype),
+        [pltpu.VMEM((S, 3 * D), x.dtype)],
+        n_head=n_head, causal=causal,
+    )
+    zeros = tuple(jnp.zeros_like(p) for p in params)
+    return (dx, *zeros)
+
+
+layer_fullblock.defvjp(_layer_fwd, _layer_bwd)

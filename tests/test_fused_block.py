@@ -166,3 +166,43 @@ def test_chunked_mlp_halfblock_matches():
     np.testing.assert_allclose(
         np.asarray(g_fus), np.asarray(g_ref), rtol=5e-4, atol=5e-4
     )
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_layer_fullblock_fwd_and_dx(causal):
+    """Full-layer fused kernel == attention half + MLP half composed,
+    forward and dx."""
+    from mudpt_tpu.ops.fused_block import layer_fullblock
+
+    rng = np.random.RandomState(4)
+    D, S, H = 64, 40, 2
+    p = _params(rng, D)
+    x = jnp.asarray(rng.randn(3, S, D), jnp.float32)
+
+    def ref(x):
+        from mudpt_tpu.models.text import causal_mask
+
+        mask = causal_mask(S) if causal else None
+        x = x + attention(p["attn"], layer_norm(p["ln_1"], x), H, mask)
+        return x + mlp(p["mlp"], layer_norm(p["ln_2"], x))
+
+    def fused(x):
+        return layer_fullblock(
+            x,
+            p["ln_1"]["scale"], p["ln_1"]["bias"],
+            p["attn"]["qkv_w"], p["attn"]["qkv_b"],
+            p["attn"]["out_w"], p["attn"]["out_b"],
+            p["ln_2"]["scale"], p["ln_2"]["bias"],
+            p["mlp"]["fc_w"], p["mlp"]["fc_b"],
+            p["mlp"]["proj_w"], p["mlp"]["proj_b"],
+            H, causal,
+        )
+
+    np.testing.assert_allclose(
+        np.asarray(fused(x)), np.asarray(ref(x)), rtol=2e-5, atol=2e-5
+    )
+    g_ref = jax.grad(lambda x: jnp.sum(ref(x) ** 2))(x)
+    g_fused = jax.grad(lambda x: jnp.sum(fused(x) ** 2))(x)
+    np.testing.assert_allclose(
+        np.asarray(g_fused), np.asarray(g_ref), rtol=5e-4, atol=5e-4
+    )
