@@ -66,12 +66,18 @@ def main() -> None:
         #  footprint must still produce a bench line, not a traceback
         import sys
 
-        msg = str(e).lower()
-        if args.batch > 256 and ("memory" in msg or "resource" in msg):
+        msg = str(e)
+        is_oom = type(e).__name__ in ("XlaRuntimeError", "JaxRuntimeError") and (
+            "RESOURCE_EXHAUSTED" in msg or "HBM" in msg or "Out of memory" in msg
+        )
+        if args.batch > 256 and is_oom:
             print(f"# batch {args.batch} OOM'd; retrying at 256",
                   file=sys.stderr)
             args.batch = 256
-            _run(args)
+            try:
+                _run(args)
+            except Exception as e2:
+                raise e2 from e
         else:
             raise
 

@@ -103,4 +103,7 @@ def parse_args(argv=None):
 
 
 if __name__ == "__main__":
+    from mudpt_tpu.utils.platform import pin_platform_from_env
+
+    pin_platform_from_env()
     main(parse_args())

@@ -45,8 +45,13 @@ class DataLoader:
         self.num_workers = max(1, num_workers)
         self.prefetch = prefetch
         self._seed = seed
-        self._rng = random.Random(seed)
         self._epoch = 0
+
+    def set_epoch(self, epoch: int):
+        """Fast-forward the epoch counter (resume): shuffle order and
+        augmentation RNGs are pure functions of (seed, epoch), so a resumed
+        run replays exactly the batches an uninterrupted run would see."""
+        self._epoch = int(epoch)
 
     def __len__(self) -> int:
         n = len(self.items)
@@ -81,10 +86,16 @@ class DataLoader:
         }
 
     def __iter__(self) -> Iterator[dict]:
+        self._epoch += 1
         order = list(range(len(self.items)))
         if self.shuffle:
-            self._rng.shuffle(order)
-        self._epoch += 1
+            # stateless: order is a pure function of (seed, epoch) — a
+            # resumed run at epoch E shuffles identically to an
+            # uninterrupted run's epoch E (position salt -1 never collides
+            # with the per-item RNGs below, whose positions are >= 0)
+            random.Random(
+                hash((self._seed, self._epoch, -1)) & 0xFFFFFFFF
+            ).shuffle(order)
 
         # per-item RNGs seeded by (loader seed, epoch, position): augmentation
         # is reproducible no matter how worker threads interleave

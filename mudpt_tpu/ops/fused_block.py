@@ -601,9 +601,19 @@ def _call_mlp(kernel, x, params, extra, out_shapes, **kw):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
 def attn_halfblock(x, ln_s, ln_b, qkv_w, qkv_b, out_w, out_b,
                    n_head: int, causal: bool = False):
-    """y = x + out_proj(MHA(LN(x))).  Grads flow to x ONLY (frozen block)."""
-    y, _ = _attn_fwd(x, ln_s, ln_b, qkv_w, qkv_b, out_w, out_b, n_head, causal)
-    return y
+    """y = x + out_proj(MHA(LN(x))).  Grads flow to x ONLY (frozen block).
+
+    The primal (inference-only: evaluate(), zero-shot encode) always runs the
+    NON-saving kernel — the save-acts qkv write is pure HBM waste when no
+    backward follows (pallas_call outputs are not dead-code-eliminated)."""
+    B, S, D = x.shape
+    params = (ln_s, ln_b, qkv_w, qkv_b, out_w, out_b)
+    return _call_attn(
+        _attn_fwd_kernel, x, params, (),
+        jax.ShapeDtypeStruct((B, S, D), x.dtype),
+        [pltpu.VMEM((S, D), jnp.float32)],
+        n_head=n_head, causal=causal,
+    )
 
 
 def _attn_fwd(x, ln_s, ln_b, qkv_w, qkv_b, out_w, out_b, n_head, causal):
@@ -664,9 +674,15 @@ attn_halfblock.defvjp(_attn_fwd, _attn_bwd)
 
 @jax.custom_vjp
 def mlp_halfblock(x, ln_s, ln_b, fc_w, fc_b, proj_w, proj_b):
-    """y = x + proj(QuickGELU(fc(LN(x)))).  Grads flow to x ONLY."""
-    y, _ = _mlp_fwd(x, ln_s, ln_b, fc_w, fc_b, proj_w, proj_b)
-    return y
+    """y = x + proj(QuickGELU(fc(LN(x)))).  Grads flow to x ONLY.
+
+    Primal (inference-only) runs the non-saving kernel — no h write."""
+    B, S, D = x.shape
+    params = (ln_s, ln_b, fc_w, fc_b, proj_w, proj_b)
+    return _call_mlp(
+        _mlp_fwd_kernel, x, params, (),
+        jax.ShapeDtypeStruct((B, S, D), x.dtype),
+    )
 
 
 def _mlp_fwd(x, ln_s, ln_b, fc_w, fc_b, proj_w, proj_b):
@@ -764,6 +780,33 @@ def _layer_fwd_kernel(x_ref, ln1_s, ln1_b, qkv_w, qkv_b, out_w, out_b,
     y_ref[0] = y1 + out
 
 
+def _layer_fwd_nosave_kernel(x_ref, ln1_s, ln1_b, qkv_w, qkv_b, out_w, out_b,
+                             ln2_s, ln2_b, fc_w, fc_b, proj_w, proj_b,
+                             y_ref, acc_ref, *, n_head, causal):
+    # inference-only variant of _layer_fwd_kernel: no y1/qkv/h HBM writes
+    x = x_ref[0]
+    S, D = x.shape
+    hd = D // n_head
+    qkv = _attn_project(x, ln1_s, ln1_b, qkv_w, qkv_b)
+    mask = _causal_mask(S) if causal else None
+    for h in range(n_head):
+        q, k, v = _head_qkv(qkv, D, hd, h)
+        p = _head_probs(q, k, hd ** -0.5, mask)
+        o = jax.lax.dot_general(
+            p.astype(x.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_ref[:, h * hd : (h + 1) * hd] = o.astype(acc_ref.dtype)
+    y1 = _attn_finish(x, acc_ref[...], out_w, out_b)
+    h32 = _mlp_pre(y1, ln2_s, ln2_b, fc_w, fc_b)
+    a = _quick_gelu(h32).astype(y1.dtype)
+    out = jax.lax.dot_general(
+        a, proj_w[...].astype(y1.dtype), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(y1.dtype) + proj_b[...].astype(y1.dtype)
+    y_ref[0] = y1 + out
+
+
 def _layer_bwd_kernel(x_ref, ln1_s, ln1_b, qkv_w, qkv_b, out_w, out_b,
                       ln2_s, ln2_b, fc_w, fc_b, proj_w, proj_b,
                       y1_sv, qkv_sv, h_sv, g_ref, dx_ref, dqkv_ref, *,
@@ -808,11 +851,18 @@ def layer_fullblock(x, ln1_s, ln1_b, qkv_w, qkv_b, out_w, out_b,
                     ln2_s, ln2_b, fc_w, fc_b, proj_w, proj_b,
                     n_head: int, causal: bool = False):
     """One full pre-LN residual layer (both halves) as a single Pallas
-    program in each direction.  Grads flow to x ONLY (frozen layer)."""
-    y, _ = _layer_fwd(x, ln1_s, ln1_b, qkv_w, qkv_b, out_w, out_b,
-                      ln2_s, ln2_b, fc_w, fc_b, proj_w, proj_b,
-                      n_head, causal)
-    return y
+    program in each direction.  Grads flow to x ONLY (frozen layer).
+
+    Primal (inference-only) runs a no-save kernel: no y1/qkv/h writes."""
+    B, S, D = x.shape
+    params = (ln1_s, ln1_b, qkv_w, qkv_b, out_w, out_b,
+              ln2_s, ln2_b, fc_w, fc_b, proj_w, proj_b)
+    return _call_layer(
+        _layer_fwd_nosave_kernel, x, params, (),
+        jax.ShapeDtypeStruct((B, S, D), x.dtype),
+        [pltpu.VMEM((S, D), jnp.float32)],
+        n_head=n_head, causal=causal,
+    )
 
 
 def _layer_fwd(x, ln1_s, ln1_b, qkv_w, qkv_b, out_w, out_b,

@@ -231,8 +231,12 @@ class TrainerBase:
 
     def resume_if_requested(self) -> int:
         """cfg.RESUME: reload the newest checkpoint under that directory and
-        continue from its epoch (deterministic data order + per-epoch
-        checkpoints make resume exact — the recovery story, SURVEY.md §5)."""
+        continue from its epoch.  Restores BOTH the prompt weights and the
+        optimizer state (SGD momentum, schedule step) — together with the
+        deterministic data order this makes a resumed run bit-identical to an
+        uninterrupted one (reference: Dassl register_model(model, optim,
+        sched) enrolls all three, trainers/mudpt.py:227).  ``load_model``
+        stays weights-only for transfer/warm-start semantics."""
         if not self.cfg.RESUME or self.trainable is None:
             return 0
         last = self._latest_epoch_on_primary(self.cfg.RESUME)
@@ -243,9 +247,52 @@ class TrainerBase:
             )
             return 0
         self.load_model(self.cfg.RESUME, epoch=last)
+        self._restore_opt_state(self.cfg.RESUME, epoch=last)
+        if hasattr(self.dm.train_loader, "set_epoch"):
+            # replay the exact data order an uninterrupted run would see
+            self.dm.train_loader.set_epoch(last)
         self.global_step = last * max(1, len(self.dm.train_loader))
         print(f"Resumed from epoch {last}")
         return last
+
+    def _restore_opt_state(self, directory: str, epoch: int):
+        """Graft checkpointed optimizer leaves onto the live opt_state
+        (pod-safe: primary reads, everyone receives the broadcast).  Falls
+        back to the fresh state — loudly — if the checkpoint predates
+        opt-state saving or the leaf structure changed."""
+        from mudpt_tpu.parallel.multihost import broadcast_from_primary
+
+        template = jax.device_get(self.opt_state)
+        leaves, treedef = jax.tree_util.tree_flatten(template)
+        ok = 0
+        if jax.process_index() == 0:
+            try:
+                _, opt_leaves, _ = load_checkpoint(directory, self.model_name, epoch)
+            except Exception:  # noqa: BLE001 — weights load already vetted the file
+                opt_leaves = None
+            if (
+                opt_leaves is not None
+                and len(opt_leaves) == len(leaves)
+                and all(
+                    tuple(a.shape) == tuple(np.shape(b))
+                    for a, b in zip(opt_leaves, leaves)
+                )
+            ):
+                leaves = [
+                    np.asarray(a, dtype=np.asarray(b).dtype)
+                    for a, b in zip(opt_leaves, leaves)
+                ]
+                ok = 1
+        leaves, ok = broadcast_from_primary((leaves, np.int32(ok)))
+        if not int(ok):
+            print(
+                "WARNING: checkpoint has no matching optimizer state — "
+                "resuming with a FRESH optimizer (momentum reset)"
+            )
+            return
+        self.opt_state = replicate(
+            self.mesh, jax.tree_util.tree_unflatten(treedef, leaves)
+        )
 
     def _cast_images(self, batch):
         """Host-side image cast to the compute dtype for bf16 runs: the
@@ -406,12 +453,13 @@ class TrainerBase:
             return
         if jax.process_index() != 0:
             return  # pod runs: the primary host owns the checkpoint files
+        opt = getattr(self, "opt_state", None)
         path = save_checkpoint(
             self.cfg.OUTPUT_DIR,
             self.model_name,
             self.epoch + 1,
             jax.device_get(self.trainable),
-            opt_state=None,
+            opt_state=jax.device_get(opt) if opt is not None else None,
             is_best=is_best,
             meta={"trainer": self.cfg.TRAINER.NAME},
         )

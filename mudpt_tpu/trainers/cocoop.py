@@ -86,7 +86,11 @@ def cocoop_forward(trainable, frozen, aux, images, *, clip_cfg, compute_dtype,
     # n_cls=1000, B=8 — while with it only one micro-batch's forward is
     # ever materialized and the backward recomputes each chunk's encode.
     # Micro-batches run the IDENTICAL vmap'd computation, so the chunked
-    # and unchunked paths match bit-for-bit (tests/test_trainers.py).
+    # and unchunked FORWARD logits match bit-for-bit (tests/test_trainers.py,
+    # same-kernel-mode comparison).  Gradients may differ in the last bits
+    # when the unchunked path runs save-acts kernels: their MLP backward
+    # derives the QuickGELU gradient from the bf16-rounded saved
+    # pre-activation, while this path (saved_acts(False)) recomputes in fp32.
     pad = (-B) % chunk
     if pad:
         ctx_shifted = jnp.concatenate(

@@ -138,6 +138,8 @@ def restore_into(template, loaded: dict, *, strict: bool = False):
                 if strict:
                     raise KeyError(f"Missing checkpoint key {key!r}")
                 out_seq.append(v)
+        if hasattr(template, "_fields"):  # NamedTuple: positional fields
+            return type(template)(*out_seq)
         return type(template)(out_seq)
     if loaded is None or template is None:
         return template

@@ -34,6 +34,51 @@ def test_resume_continues_from_checkpoint(tmp_path):
     assert np.allclose(ctx_resumed, ctx_trained)
 
 
+def test_resume_is_exact(tmp_path):
+    """Train 4 epochs straight vs 2 epochs + preemption + resume + 2 epochs:
+    final prompt weights must match.  This only holds if resume restores the
+    optimizer state (SGD momentum + schedule step — reference: Dassl
+    register_model(model, optim, sched), trainers/mudpt.py:227) AND the data
+    order is a pure function of (seed, epoch)."""
+
+    def make(outdir, max_epoch):
+        cfg = tiny_cfg("CoOp", tmp_path)
+        cfg.OPTIM.MAX_EPOCH = max_epoch
+        cfg.TRAIN.CHECKPOINT_FREQ = 1
+        cfg.TEST.NO_TEST = True
+        cfg.TEST.FINAL_MODEL = "last_step"
+        cfg.OUTPUT_DIR = str(tmp_path / outdir)
+        return cfg
+
+    # straight: 4 epochs, no interruption
+    tr_straight = build_trainer(make("straight", 4))
+    tr_straight.train()
+    ctx_straight = np.asarray(tr_straight.trainable["ctx"])
+
+    # preempted: same schedule horizon (4 epochs) but killed after epoch 2
+    cfg1 = make("preempted", 4)
+    tr1 = build_trainer(cfg1)
+    for tr1.epoch in range(2):
+        tr1.run_epoch()
+        tr1.after_epoch()
+
+    # momentum must be in the checkpoint (nonzero after 2 epochs of SGD)
+    from mudpt_tpu.utils.checkpoint import load_checkpoint
+
+    _, opt_leaves, _ = load_checkpoint(cfg1.OUTPUT_DIR, "prompt_learner", 2)
+    assert opt_leaves is not None
+    assert any(np.abs(l).max() > 0 for l in opt_leaves if l.size > 1)
+
+    # resume in a fresh trainer and finish epochs 3-4
+    cfg2 = make("resumed", 4)
+    cfg2.RESUME = cfg1.OUTPUT_DIR
+    tr2 = build_trainer(cfg2)
+    tr2.train()
+    ctx_resumed = np.asarray(tr2.trainable["ctx"])
+
+    np.testing.assert_allclose(ctx_resumed, ctx_straight, rtol=1e-6, atol=1e-7)
+
+
 def test_tfdata_pipeline(tmp_path):
     pytest.importorskip("tensorflow")
     img_dir = tmp_path / "imgs"

@@ -109,4 +109,7 @@ def main() -> int:
 
 
 if __name__ == "__main__":
+    from mudpt_tpu.utils.platform import pin_platform_from_env
+
+    pin_platform_from_env()
     sys.exit(main())
