@@ -184,3 +184,18 @@ def residual_block(p, x: jax.Array, n_head: int, mask=None, causal=False) -> jax
     x = x + attention(p["attn"], layer_norm(p["ln_1"], x), n_head, mask)
     x = x + mlp(p["mlp"], layer_norm(p["ln_2"], x))
     return x
+
+
+def residual_block_trainable(p, x: jax.Array, n_head: int, mask=None) -> jax.Array:
+    """Pre-LN residual block whose WEIGHTS receive gradients.
+
+    The Pallas fused blocks above carry a custom VJP that deliberately
+    returns zero for every weight gradient (valid only for the frozen CLIP
+    backbone).  Blocks whose parameters are themselves trained — the
+    UMuDPT/UUMuDPT LightTransformer prompt-synthesis heads
+    (reference trainers/umudpt.py:56-75, clip/model.py:620-623) — must take
+    the XLA autodiff path regardless of the selected block impl, or their
+    weights silently stop learning (caught by tests/test_grad_parity.py)."""
+    x = x + attention(p["attn"], layer_norm(p["ln_1"], x), n_head, mask)
+    x = x + mlp(p["mlp"], layer_norm(p["ln_2"], x))
+    return x

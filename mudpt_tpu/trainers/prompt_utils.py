@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mudpt_tpu.models.layers import layer_norm, residual_block
+from mudpt_tpu.models.layers import layer_norm, residual_block_trainable
 from mudpt_tpu.tokenizer import tokenize, get_tokenizer
 
 
@@ -199,8 +199,11 @@ def init_light_transformer(key, d_model: int) -> dict:
 
 
 def light_transformer(p: dict, x: jax.Array, n_head: int) -> jax.Array:
-    """x: (B, S, D) — for prompt synthesis B=depth rows, S=n_ctx tokens."""
-    return residual_block(p, x, n_head)
+    """x: (B, S, D) — for prompt synthesis B=depth rows, S=n_ctx tokens.
+
+    Always the XLA autodiff block: these weights are TRAINED, and the
+    Pallas fused blocks' custom VJP drops weight grads (frozen-only)."""
+    return residual_block_trainable(p, x, n_head)
 
 
 def init_prompt_transform_head(key, d_model: int, d_out: int) -> dict:
