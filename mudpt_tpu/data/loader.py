@@ -36,6 +36,7 @@ class DataLoader:
         num_workers: int = 4,
         seed: int = 0,
         prefetch: int = 2,
+        pad_to_batches: int = 0,
     ):
         self.items = items
         self.transform = transform
@@ -46,6 +47,10 @@ class DataLoader:
         self.prefetch = prefetch
         self._seed = seed
         self._epoch = 0
+        # pod eval: hosts iterate in lockstep (collectives), so a host whose
+        # item shard is short must still emit the same number of batches —
+        # trailing batches are all-invalid zeros
+        self.pad_to_batches = pad_to_batches
 
     def set_epoch(self, epoch: int):
         """Fast-forward the epoch counter (resume): shuffle order and
@@ -57,7 +62,9 @@ class DataLoader:
         n = len(self.items)
         if self.drop_last:
             return n // self.batch_size
-        return (n + self.batch_size - 1) // self.batch_size
+        return max(
+            (n + self.batch_size - 1) // self.batch_size, self.pad_to_batches
+        )
 
     def _decode(self, item_and_rng) -> np.ndarray:
         item, rng = item_and_rng
@@ -111,15 +118,32 @@ class DataLoader:
             ]
             chunks.append((chunk, rngs))
 
+        n_pad_batches = max(0, self.pad_to_batches - len(chunks))
+
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
         error: List[BaseException] = []
+
+        def empty_batch():
+            size = getattr(self.transform, "size", None)
+            if size is None:  # infer from a real item
+                img = self._decode((self.items[0], random.Random(0)))
+                size = img.shape[0]
+            return {
+                "image": np.zeros(
+                    (self.batch_size, size, size, 3), np.float32
+                ),
+                "label": np.zeros(self.batch_size, np.int32),
+                "valid": np.zeros(self.batch_size, bool),
+            }
 
         def producer():
             try:
                 with ThreadPoolExecutor(self.num_workers) as pool:
                     for chunk, rngs in chunks:
                         q.put(self._make_batch(chunk, rngs, pool))
+                for _ in range(n_pad_batches):
+                    q.put(empty_batch())
             except BaseException as e:  # surface in consumer
                 error.append(e)
             finally:

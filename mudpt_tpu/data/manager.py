@@ -51,6 +51,7 @@ class DataManager:
         # slices.  Items are truncated to equal per-host lengths so every
         # host runs the same number of steps (lockstep collectives).
         self.host_sharded = False
+        self.eval_host_sharded = False
         train_items = dataset.train_x
         train_bs = cfg.DATALOADER.TRAIN_X.BATCH_SIZE
         if cfg.DATALOADER.HOST_SHARD:
@@ -122,22 +123,52 @@ class DataManager:
             num_workers=cfg.DATALOADER.NUM_WORKERS,
             seed=cfg.SEED,
         )
-        self.val_loader = (
-            DataLoader(
-                dataset.val,
-                test_tf,
-                cfg.DATALOADER.TEST.BATCH_SIZE,
+        def eval_loader(items):
+            if items is None or not items:
+                return None
+            shard = self._eval_shard(items, cfg.DATALOADER.TEST.BATCH_SIZE)
+            if shard is None:
+                return DataLoader(
+                    items, test_tf, cfg.DATALOADER.TEST.BATCH_SIZE,
+                    num_workers=cfg.DATALOADER.NUM_WORKERS,
+                )
+            host_items, bs_h, steps = shard
+            self.eval_host_sharded = True
+            return DataLoader(
+                host_items, test_tf, bs_h,
                 num_workers=cfg.DATALOADER.NUM_WORKERS,
+                pad_to_batches=steps,
             )
-            if dataset.val
-            else None
-        )
-        self.test_loader = DataLoader(
-            dataset.test,
-            test_tf,
-            cfg.DATALOADER.TEST.BATCH_SIZE,
-            num_workers=cfg.DATALOADER.NUM_WORKERS,
-        )
+
+        self.val_loader = eval_loader(dataset.val)
+        self.test_loader = eval_loader(dataset.test)
+
+    def _eval_shard(self, items, test_bs):
+        """Pod eval sharding: split every global eval batch into contiguous
+        per-host blocks — host h decodes ONLY rows [h·bs_h, (h+1)·bs_h) of
+        each global batch of ``test_bs`` (matching shard_batch host_local's
+        process-ordered block layout), so decode work scales 1/n_hosts and
+        the union over hosts covers every item exactly once.  Returns
+        (host_items, host_bs, pad_to_batches) — or None when not sharding
+        (single process, HOST_SHARD off, or an indivisible batch size)."""
+        import jax
+
+        n_proc = jax.process_count()
+        if (
+            not self.cfg.DATALOADER.HOST_SHARD
+            or n_proc == 1
+            or test_bs % n_proc
+            or not items
+        ):
+            return None
+        bs_h = test_bs // n_proc
+        rank = jax.process_index()
+        host_items = []
+        for start in range(0, len(items), test_bs):
+            block = items[start + rank * bs_h : start + (rank + 1) * bs_h]
+            host_items.extend(block)
+        steps = -(-len(items) // test_bs)
+        return host_items, bs_h, steps
 
     @property
     def num_classes(self) -> int:

@@ -204,14 +204,16 @@ class TrainerBase:
 
         inference = getattr(self, "model_inference", None) or forward
 
-        # eval logits come back fully replicated: in multi-process (pod)
-        # runs a batch-sharded output would not be host-fetchable, and the
-        # evaluator runs identically on every host (all hosts iterate the
-        # same seed-deterministic loader)
+        # eval returns PREDICTIONS, (B,) int32 replicated: the argmax runs
+        # on device so only B ints cross the host link (vs B×n_cls fp32
+        # logits — the tunneled chip's scarcest resource), and in pod runs
+        # each host reads its own block + metrics are all-reduced
         @functools.partial(jax.jit, out_shardings=self.mesh.replicated)
         def eval_step(trainable, frozen, aux, images):
             logits = inference(trainable, frozen, aux, images)
-            return logits[:, :n_cls].astype(jnp.float32)
+            return jnp.argmax(
+                logits[:, :n_cls].astype(jnp.float32), axis=-1
+            ).astype(jnp.int32)
 
         self._eval_step = eval_step
 
@@ -420,13 +422,31 @@ class TrainerBase:
     # ------------------------------------------------------------------
     def evaluate(self, loader, split: str = "test") -> Dict[str, float]:
         evaluator = build_evaluator(self.cfg, self.num_classes, self.classnames)
+        # pod eval sharding (DATALOADER.HOST_SHARD): each host decodes and
+        # scores only its block of every global batch; the confusion
+        # matrices are summed across processes afterwards, so every host
+        # prints identical metrics while eval work scales 1/n_hosts
+        eval_sharded = getattr(self.dm, "eval_host_sharded", False)
         for batch in loader:
-            sb = shard_batch(self.mesh, self._cast_images(batch))
-            logits = self._eval_step(
-                self.trainable, self.frozen, self.aux, sb["image"]
+            sb = shard_batch(
+                self.mesh, self._cast_images(batch), host_local=eval_sharded
             )
-            logits = np.asarray(logits)[: len(batch["label"])]
-            evaluator.process(logits, batch["label"], batch["valid"])
+            preds = np.asarray(
+                self._eval_step(
+                    self.trainable, self.frozen, self.aux, sb["image"]
+                )
+            )
+            n_local = len(batch["label"])
+            if eval_sharded:
+                rows_unit = self.mesh.n_data // jax.process_count()
+                host_rows = -(-n_local // rows_unit) * rows_unit
+                start = jax.process_index() * host_rows
+                preds = preds[start : start + n_local]
+            else:
+                preds = preds[:n_local]
+            evaluator.process_preds(preds, batch["label"], batch["valid"])
+        if eval_sharded:
+            evaluator.all_reduce()
         results = evaluator.evaluate()
         print(
             f"=> result on {split}: "

@@ -55,12 +55,31 @@ class Classification:
 
     def process(self, logits, labels, valid=None) -> None:
         """Accumulate a batch.  ``valid`` masks padded rows."""
-        preds = np.asarray(logits).argmax(axis=-1)
+        self.process_preds(np.asarray(logits).argmax(axis=-1), labels, valid)
+
+    def process_preds(self, preds, labels, valid=None) -> None:
+        """Accumulate from predicted class ids (argmax already applied —
+        e.g. on device, so only (B,) int32 crosses the host link)."""
+        preds = np.asarray(preds)
         labels = np.asarray(labels)
         if valid is not None:
             mask = np.asarray(valid)
             preds, labels = preds[mask], labels[mask]
         np.add.at(self._conf, (labels, preds), 1)
+
+    def all_reduce(self) -> None:
+        """Pod runs with host-sharded eval: each host accumulated only its
+        item shard — sum the confusion matrices across processes so every
+        host computes identical global metrics."""
+        import jax
+
+        if jax.process_count() == 1:
+            return
+        from jax.experimental import multihost_utils
+
+        self._conf = np.asarray(
+            multihost_utils.process_allgather(self._conf)
+        ).sum(axis=0)
 
     def evaluate(self) -> Dict[str, float]:
         total = int(self._conf.sum())

@@ -60,6 +60,15 @@ def main() -> None:
     host_local = trainer.dm.host_sharded
     if os.environ.get("POD_HOST_SHARD") == "1":
         assert host_local and len(trainer.dm._train_items) > 0
+        # eval sharding: this host decodes only ~half the test items, yet
+        # the all-reduced metrics must cover the full set (checked below
+        # and by the test comparing against the single-process run)
+        assert trainer.dm.eval_host_sharded
+        n_test = len(trainer.dm.dataset.test)
+        assert len(trainer.dm.test_loader.items) < n_test
+        r0 = trainer.evaluate(trainer.dm.test_loader)
+        assert r0["total"] == n_test, (r0["total"], n_test)
+        print(f"ACC0 pid={pid} {r0['accuracy']:.6f} total={r0['total']}")
 
     losses = []
     it = iter(trainer.dm.train_loader)

@@ -180,12 +180,38 @@ def test_two_process_train_step_matches_single_process(tmp_path):
 def test_two_process_host_sharded_input(tmp_path):
     """DATALOADER.HOST_SHARD: hosts decode disjoint item shards and feed
     per-host batch slices; the pod must train in lockstep with finite,
-    host-identical (replicated) losses."""
+    host-identical (replicated) losses.  Eval is sharded too: each host
+    scores only its block of every global batch and the confusion matrices
+    are all-reduced — both hosts must report metrics identical to the
+    single-process run over the full test set."""
     import os
     import re
     import socket
     import subprocess
     import sys
+
+    # single-process reference: fresh-model accuracy on the same config
+    # (deterministic seeds => the pod's pre-training eval must match)
+    import jax as _jax
+
+    from mudpt_tpu.config import default_config
+    from mudpt_tpu.trainers.mudpt import MuDPT
+
+    cfg = default_config()
+    cfg.TRAINER.NAME = "MuDPT"
+    cfg.MODEL.BACKBONE.NAME = "test-tiny"
+    cfg.MODEL.BACKBONE.PATH = "random"
+    cfg.DATASET.NAME = "Synthetic"
+    cfg.INPUT.SIZE = (32, 32)
+    cfg.DATALOADER.TRAIN_X.BATCH_SIZE = 16
+    cfg.DATALOADER.TEST.BATCH_SIZE = 16
+    cfg.DATALOADER.NUM_WORKERS = 2
+    cfg.OUTPUT_DIR = ""
+    cfg.TRAINER.MUDPT.PREC = "fp32"
+    cfg.PARALLEL.MODEL = 2
+    ref_trainer = MuDPT(cfg, devices=_jax.devices("cpu")[:8])
+    ref = ref_trainer.evaluate(ref_trainer.dm.test_loader)
+    ref_acc0, ref_total = ref["accuracy"], ref["total"]
 
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
@@ -207,10 +233,18 @@ def test_two_process_host_sharded_input(tmp_path):
     for p, out in zip(procs, outs):
         assert p.returncode == 0, out[-3000:]
     per_host = []
+    accs0 = []
     for out in outs:
         m = re.search(r"LOSSES pid=\d \[([-\d.e, ]+)\]", out)
         assert m, out[-3000:]
         losses = [float(x) for x in m.group(1).split(",")]
         assert all(l == l and l < 100 for l in losses), losses
         per_host.append(losses)
+        ma = re.search(r"ACC0 pid=\d ([-\d.]+) total=(\d+)", out)
+        assert ma, out[-3000:]
+        accs0.append(float(ma.group(1)))
+        assert int(ma.group(2)) == ref_total, (ma.group(2), ref_total)
     assert per_host[0] == per_host[1], per_host
+    # sharded eval == single-process eval, identical on every host
+    assert accs0[0] == accs0[1], accs0
+    assert abs(accs0[0] - ref_acc0) < 1e-3, (accs0, ref_acc0)
