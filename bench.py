@@ -57,6 +57,14 @@ def main() -> None:
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--remat", choices=["auto", "selective", "full", "none"],
                     default="auto")
+    ap.add_argument("--input", choices=["resident", "threads", "tfdata", "grain"],
+                    default="resident",
+                    help="resident: one device-resident batch every step "
+                    "(pure-compute ceiling). threads/tfdata/grain: decode a "
+                    "synthetic JPEG dataset through the real input pipeline "
+                    "with host->device prefetch (the BASELINE.json north-star "
+                    "pipeline), reporting the H2D ceiling alongside.")
+    ap.add_argument("--n-jpegs", type=int, default=2048)
     args = ap.parse_args()
 
     try:
@@ -80,6 +88,63 @@ def main() -> None:
                 raise e2 from e
         else:
             raise
+
+
+def _synth_jpegs(n: int, n_cls: int, side: int = 256):
+    """Synthesize (once, cached) a JPEG dataset for input-pipeline benches:
+    random-noise images decode at worst-case cost, exercising the full
+    decode -> random-resized-crop -> flip -> normalize path."""
+    import numpy as np
+    from PIL import Image
+
+    from mudpt_tpu.data.datum import Datum
+
+    root = os.path.join("/tmp", f"mudpt_bench_jpegs_{n}x{side}")
+    marker = os.path.join(root, ".complete")
+    if not os.path.exists(marker):
+        os.makedirs(root, exist_ok=True)
+        rng = np.random.RandomState(0)
+        for i in range(n):
+            arr = rng.randint(0, 256, (side, side, 3), np.uint8)
+            Image.fromarray(arr).save(
+                os.path.join(root, f"{i}.jpg"), quality=85
+            )
+        with open(marker, "w") as f:
+            f.write("ok")
+    return [
+        Datum(
+            impath=os.path.join(root, f"{i}.jpg"),
+            label=i % n_cls,
+            classname=f"object number {i % n_cls}",
+        )
+        for i in range(n)
+    ]
+
+
+def _build_input_loader(args, resolution: int):
+    items = _synth_jpegs(args.n_jpegs, args.n_cls)
+    if args.input == "tfdata":
+        from mudpt_tpu.data.tfdata import TFDataLoader
+
+        return TFDataLoader(
+            items, args.batch, size=resolution, is_train=True,
+            shuffle=True, drop_last=True, seed=0,
+        )
+    from mudpt_tpu.data.transforms import TrainTransform
+
+    tf = TrainTransform(size=resolution)
+    if args.input == "grain":
+        from mudpt_tpu.data.grain_pipeline import GrainLoader
+
+        return GrainLoader(
+            items, tf, args.batch, shuffle=True, drop_last=True, seed=0
+        )
+    from mudpt_tpu.data.loader import DataLoader
+
+    return DataLoader(
+        items, tf, args.batch, shuffle=True, drop_last=True,
+        num_workers=int(os.environ.get("MUDPT_BENCH_WORKERS", "16")),
+    )
 
 
 def _run(args) -> None:
@@ -166,22 +231,74 @@ def _run(args) -> None:
     )
     labels = jnp.asarray(rng.randint(0, args.n_cls, args.batch), jnp.int32)
 
-    for _ in range(args.warmup):
-        trainable, opt_state, loss = train_step(
-            trainable, opt_state, params, aux, images, labels
-        )
-    float(loss)  # host fetch: the only reliable barrier on tunneled devices
+    h2d_mb_s = None
+    if args.input == "resident":
+        for _ in range(args.warmup):
+            trainable, opt_state, loss = train_step(
+                trainable, opt_state, params, aux, images, labels
+            )
+        float(loss)  # host fetch: the only reliable barrier on tunneled devices
 
-    t0 = time.perf_counter()
-    for _ in range(args.steps):
-        trainable, opt_state, loss = train_step(
-            trainable, opt_state, params, aux, images, labels
+        t0 = time.perf_counter()
+        for _ in range(args.steps):
+            trainable, opt_state, loss = train_step(
+                trainable, opt_state, params, aux, images, labels
+            )
+        # fetch the final loss: the donated-buffer chain forces every queued
+        # step to execute before this value exists (block_until_ready alone
+        # returns early on remote-relay platforms)
+        final_loss = float(loss)
+        dt = time.perf_counter() - t0
+    else:
+        import ml_dtypes
+
+        loader = _build_input_loader(args, clip_cfg.image_resolution)
+
+        def batches():
+            while True:
+                for b in loader:
+                    yield b
+
+        def to_device(b):
+            img = np.ascontiguousarray(
+                np.asarray(b["image"], np.float32)
+            ).astype(ml_dtypes.bfloat16)
+            lab = np.asarray(b["label"], np.int32)
+            return jax.device_put(img), jax.device_put(lab)
+
+        it = batches()
+        # H2D ceiling of this link: repeated full-batch puts, each forced to
+        # completion by a tiny fetch (block_until_ready returns early here)
+        sample = np.asarray(next(it)["image"], np.float32).astype(
+            ml_dtypes.bfloat16
         )
-    # fetch the final loss: the donated-buffer chain forces every queued
-    # step to execute before this value exists (block_until_ready alone
-    # returns early on remote-relay platforms)
-    final_loss = float(loss)
-    dt = time.perf_counter() - t0
+        td = time.perf_counter()
+        reps = 3
+        for _ in range(reps):
+            d = jax.device_put(sample)
+            np.asarray(d[0, 0, 0, 0])
+        h2d_mb_s = sample.nbytes * reps / (time.perf_counter() - td) / 1e6
+
+        for _ in range(args.warmup):
+            di, dl = to_device(next(it))
+            trainable, opt_state, loss = train_step(
+                trainable, opt_state, params, aux, di, dl
+            )
+        float(loss)
+
+        # prefetch-1: decode + H2D of the NEXT batch overlaps this step's
+        # device compute (same structure as trainers/base._device_prefetch)
+        t0 = time.perf_counter()
+        nxt = to_device(next(it))
+        for i in range(args.steps):
+            di, dl = nxt
+            trainable, opt_state, loss = train_step(
+                trainable, opt_state, params, aux, di, dl
+            )
+            if i + 1 < args.steps:
+                nxt = to_device(next(it))
+        final_loss = float(loss)
+        dt = time.perf_counter() - t0
     assert final_loss == final_loss, "NaN loss in benchmark"
 
     ips = args.batch * args.steps / dt
@@ -255,7 +372,9 @@ def _run(args) -> None:
             {
                 "metric": (
                     f"MuDPT {args.model} prompt-tuning train throughput "
-                    f"(bf16, batch {args.batch}, n_cls {args.n_cls}, depth {args.depth})"
+                    f"(bf16, batch {args.batch}, n_cls {args.n_cls}, depth {args.depth}"
+                    + ("" if args.input == "resident" else f", input {args.input}")
+                    + ")"
                 ),
                 "value": round(ips, 2),
                 "unit": "images/sec/chip",
@@ -267,6 +386,11 @@ def _run(args) -> None:
                 "model_mfu": round(model_achieved / peak, 3),
                 "exec_tflops_per_sec": round(achieved / 1e12, 2),
                 "hw_utilization": round(achieved / peak, 3),
+                **(
+                    {"input": args.input,
+                     "h2d_mb_per_sec": round(h2d_mb_s, 1)}
+                    if h2d_mb_s is not None else {}
+                ),
             }
         )
     )

@@ -16,6 +16,7 @@ Static-shape notes:
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
@@ -29,6 +30,30 @@ def causal_mask(context_length: int) -> jax.Array:
     """Additive causal mask (reference clip/model.py:810-816)."""
     mask = jnp.full((context_length, context_length), -jnp.inf, jnp.float32)
     return jnp.triu(mask, k=1)
+
+
+# Text-row packing factor: pack G independent 77-token class sequences into
+# one kernel row of G*80 tokens (80 = 77 rounded to the 8-sublane grid).
+# The per-token projections (12·D² of the layer's ~13·D²-units of matmul)
+# then run at M = G·80 rows per Pallas program instead of 77 — the lever
+# for the large-n_cls text tower (ImageNet sweeps re-encode n_cls×77 every
+# step).  Attention cost inflates ×G (block-diagonal mask over the packed
+# row) but is only ~5% of text-layer FLOPs at D=512.  Default 1 (off).
+_TEXT_PACK = int(os.environ.get("MUDPT_TPU_TEXT_PACK", "1"))
+
+
+def set_text_pack(g: int) -> None:
+    global _TEXT_PACK
+    _TEXT_PACK = max(1, int(g))
+
+
+def packed_causal_mask(total: int, period: int, valid: int) -> jax.Array:
+    """Block-causal mask for packed rows (XLA fallback path; the Pallas
+    kernels rebuild it in-kernel from the (period, valid) static spec)."""
+    i = jnp.arange(total)[:, None]
+    j = jnp.arange(total)[None, :]
+    ok = (j <= i) & ((i // period) == (j // period)) & ((j % period) < valid)
+    return jnp.where(ok, 0.0, -jnp.inf).astype(jnp.float32)
 
 
 def embed_tokens(p, tokens: jax.Array, compute_dtype) -> jax.Array:
@@ -52,24 +77,42 @@ def text_forward(
     positions of the corresponding token rows.
     """
     x = prompt_embeddings + p["pos_embedding"].astype(prompt_embeddings.dtype)[None]
-    causal = mask is None  # the default mask is the standard causal one
-    if causal:
-        mask = causal_mask(x.shape[1])
+    is_causal = mask is None  # the default mask is the standard causal one
 
     n_ctx = deep_prompts.shape[-2] if deep_prompts is not None else 0
     num_layers = jax.tree_util.tree_leaves(p["blocks"])[0].shape[0]
     prompts, pmask = make_injection_schedule(num_layers, deep_prompts)
-    x = transformer_forward(
-        p["blocks"],
-        x,
-        n_head=n_head,
-        mask=mask,
-        prompts=prompts,
-        prompt_mask=pmask,
-        n_ctx=n_ctx,
-        is_text=True,
-        causal=causal,
-    )
+
+    G = _TEXT_PACK if (is_causal and x.ndim == 3) else 1
+    if G > 1:
+        # pack G class rows per kernel row: (N, S, D) -> (N/G, G*P, D),
+        # P = S rounded to the sublane grid, sequences at offsets g*P
+        N, S, D = x.shape
+        P = -(-S // 8) * 8
+        Npad = -(-N // G) * G
+        x = jnp.pad(x, ((0, Npad - N), (0, P - S), (0, 0)))
+        x = x.reshape(Npad // G, G * P, D)
+        x = transformer_forward(
+            p["blocks"], x, n_head=n_head,
+            mask=packed_causal_mask(G * P, P, S),  # XLA fallback path
+            prompts=prompts, prompt_mask=pmask, n_ctx=n_ctx,
+            is_text=True, causal=(P, S), splice_period=P,
+        )
+        x = x.reshape(Npad, P, D)[:N, :S]
+    else:
+        if is_causal:
+            mask = causal_mask(x.shape[1])
+        x = transformer_forward(
+            p["blocks"],
+            x,
+            n_head=n_head,
+            mask=mask,
+            prompts=prompts,
+            prompt_mask=pmask,
+            n_ctx=n_ctx,
+            is_text=True,
+            causal=is_causal,
+        )
     x = layer_norm(p["ln_final"], x)
     pooled = jnp.take_along_axis(x, eot_idx[:, None, None], axis=1)[:, 0]
     return jnp.dot(pooled, p["projection"].astype(pooled.dtype))

@@ -136,8 +136,9 @@ def transformer_forward(
     prompt_mask: Optional[jax.Array] = None,
     n_ctx: int = 0,
     is_text: bool = False,
-    causal: bool = False,
+    causal=False,
     remat: bool = True,
+    splice_period: int = 0,
 ) -> jax.Array:
     """Run the full tower.  x: (B, S, D) -> (B, S, D).
 
@@ -166,7 +167,16 @@ def transformer_forward(
                 B = h.shape[0]
                 rows = jnp.broadcast_to(p[None], (B, n_ctx, h.shape[-1]))
                 if is_text:
-                    h = jax.lax.dynamic_update_slice_in_dim(h, rows, 1, axis=1)
+                    if splice_period:
+                        # packed rows (models/text.py pack_rows): each
+                        # logical sequence starts at a multiple of the
+                        # period and gets the same prompt rows at 1..1+n_ctx
+                        for off in range(0, h.shape[1], splice_period):
+                            h = jax.lax.dynamic_update_slice_in_dim(
+                                h, rows, off + 1, axis=1
+                            )
+                    else:
+                        h = jax.lax.dynamic_update_slice_in_dim(h, rows, 1, axis=1)
                 else:
                     h = jax.lax.dynamic_update_slice_in_dim(
                         h, rows, h.shape[1] - n_ctx, axis=1
@@ -182,6 +192,11 @@ def transformer_forward(
             x = one_layer(x, l)
         return x
 
+    if splice_period:
+        raise NotImplementedError(
+            "packed text rows require the fully-unrolled static path "
+            "(MUDPT_TPU_SCAN_UNROLL must cover the tower)"
+        )
     if prompts is None:
         def body(h, layer_params):
             h = residual_block(layer_params, h, n_head, mask, causal)

@@ -131,10 +131,26 @@ def _ln_bwd_dx(dxn, xhat, inv, scale):
     return (g - gm - xhat * gx) * inv
 
 
-def _causal_mask(S):
+def _causal_mask(S, causal=True):
+    """Additive mask.  ``causal`` is the static spec threaded through the
+    custom-vjp wrappers: True = standard causal; a ``(period, valid)`` tuple
+    = PACKED sequences — several independent rows of one logical batch laid
+    out along the sequence axis with stride ``period`` (sublane-aligned),
+    each sequence ``valid`` tokens long.  Attention is causal within a
+    sequence, blocked across sequences, and pad-key positions are masked;
+    pad-query rows compute garbage that stays confined to themselves and is
+    dropped at unpack (models/text.py pack_rows)."""
     row = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
-    return jnp.where(col > row, jnp.float32(_NEG), 0.0)
+    if causal is True:
+        return jnp.where(col > row, jnp.float32(_NEG), 0.0)
+    period, valid = causal
+    ok = (
+        (col <= row)
+        & ((row // period) == (col // period))
+        & ((col % period) < valid)
+    )
+    return jnp.where(ok, 0.0, jnp.float32(_NEG))
 
 
 def _head_qkv(qkv, D, hd, h):
@@ -212,7 +228,7 @@ def _attn_fwd_kernel(x_ref, ln_s, ln_b, qkv_w, qkv_b, out_w, out_b, y_ref,
     S, D = x.shape
     hd = D // n_head
     qkv = _attn_project(x, ln_s, ln_b, qkv_w, qkv_b)
-    mask = _causal_mask(S) if causal else None
+    mask = _causal_mask(S, causal) if causal else None
     for h in range(n_head):
         q, k, v = _head_qkv(qkv, D, hd, h)
         p = _head_probs(q, k, hd ** -0.5, mask)
@@ -232,7 +248,7 @@ def _attn_fwd_save_kernel(x_ref, ln_s, ln_b, qkv_w, qkv_b, out_w, out_b,
     hd = D // n_head
     qkv = _attn_project(x, ln_s, ln_b, qkv_w, qkv_b)
     qkv_ref[0] = qkv
-    mask = _causal_mask(S) if causal else None
+    mask = _causal_mask(S, causal) if causal else None
     for h in range(n_head):
         q, k, v = _head_qkv(qkv, D, hd, h)
         p = _head_probs(q, k, hd ** -0.5, mask)
@@ -250,7 +266,7 @@ def _attn_bwd_core(x, qkv, g, ln_s, ln_b, qkv_w, out_w, dqkv_ref, *,
     S, D = x.shape
     hd = D // n_head
     scale = hd ** -0.5
-    mask = _causal_mask(S) if causal else None
+    mask = _causal_mask(S, causal) if causal else None
 
     # d(attn pre-out) = g @ out_w^T  (contract output dim)
     d_acc = jax.lax.dot_general(
@@ -690,8 +706,11 @@ def _mlp_fwd(x, ln_s, ln_b, fc_w, fc_b, proj_w, proj_b):
     Dh = fc_w.shape[1]
     params = (ln_s, ln_b, fc_w, fc_b, proj_w, proj_b)
     # h-saving at D=1024 puts ~2.1 MB/img/layer more in HBM and measured an
-    # OOM at useful batch sizes -- wide monolithic MLP uses recompute
-    if _SAVE_ACTS and D <= 768:
+    # OOM at the throughput-optimal ViT-L batch -- wide monolithic MLP uses
+    # recompute by default; MUDPT_TPU_SAVE_MLP_WIDE=1 lifts the gate for
+    # A/B at smaller batches (VERDICT r2 item 7)
+    save_limit = 1024 if os.environ.get("MUDPT_TPU_SAVE_MLP_WIDE") == "1" else 768
+    if _SAVE_ACTS and D <= save_limit:
         y, h = _call_mlp(
             _mlp_fwd_save_kernel, x, params, (),
             (
@@ -759,7 +778,7 @@ def _layer_fwd_kernel(x_ref, ln1_s, ln1_b, qkv_w, qkv_b, out_w, out_b,
     hd = D // n_head
     qkv = _attn_project(x, ln1_s, ln1_b, qkv_w, qkv_b)
     qkv_ref[0] = qkv
-    mask = _causal_mask(S) if causal else None
+    mask = _causal_mask(S, causal) if causal else None
     for h in range(n_head):
         q, k, v = _head_qkv(qkv, D, hd, h)
         p = _head_probs(q, k, hd ** -0.5, mask)
@@ -788,7 +807,7 @@ def _layer_fwd_nosave_kernel(x_ref, ln1_s, ln1_b, qkv_w, qkv_b, out_w, out_b,
     S, D = x.shape
     hd = D // n_head
     qkv = _attn_project(x, ln1_s, ln1_b, qkv_w, qkv_b)
-    mask = _causal_mask(S) if causal else None
+    mask = _causal_mask(S, causal) if causal else None
     for h in range(n_head):
         q, k, v = _head_qkv(qkv, D, hd, h)
         p = _head_probs(q, k, hd ** -0.5, mask)

@@ -1,0 +1,83 @@
+"""Packed text rows (MUDPT_TPU_TEXT_PACK): G class sequences per kernel row
+must produce bit-meaningful identical features to the unpacked path — same
+LN/projections per token, block-causal attention confined to each sequence,
+deep-prompt splices at every packed offset — under both the XLA path and
+the Pallas kernels (interpret mode), forward AND gradient."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mudpt_tpu.models import layers as L
+from mudpt_tpu.models import text as T
+from mudpt_tpu.models.clip import init_clip_params
+from mudpt_tpu.trainers.base import TINY_TEST
+from mudpt_tpu.utils.rng import new_rng
+
+N_CLS, S, N_CTX = 10, 77, 2
+
+
+@pytest.fixture
+def setup():
+    params = init_clip_params(new_rng(0), TINY_TEST)["text"]
+    rng = np.random.RandomState(2)
+    emb = jnp.asarray(rng.randn(N_CLS, S, 64) * 0.1, jnp.float32)
+    eot = jnp.asarray(rng.randint(4, S, N_CLS), jnp.int32)
+    deep = jnp.asarray(rng.randn(1, N_CTX, 64) * 0.1, jnp.float32)
+    return params, emb, eot, deep
+
+
+def _run(params, emb, eot, deep, pack):
+    prev = T._TEXT_PACK
+    T.set_text_pack(pack)
+    try:
+        return np.asarray(
+            T.text_forward(params, emb, eot, n_head=1, deep_prompts=deep)
+        )
+    finally:
+        T.set_text_pack(prev)
+
+
+@pytest.mark.parametrize("impl", ["xla", "pallas"])
+@pytest.mark.parametrize("pack", [2, 5])
+def test_packed_matches_unpacked_forward(setup, impl, pack):
+    params, emb, eot, deep = setup
+    prev = L._BLOCK_IMPL
+    L.set_block_impl(impl)
+    try:
+        ref = _run(params, emb, eot, deep, 1)
+        packed = _run(params, emb, eot, deep, pack)
+    finally:
+        L.set_block_impl(prev)
+    np.testing.assert_allclose(packed, ref, rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("impl", ["xla", "pallas"])
+def test_packed_matches_unpacked_grad(setup, impl):
+    """dL/d(deep_prompts) through the packed splices must equal the
+    unpacked path's — a dropped packed-offset splice gradient would show up
+    here as a scaled-down or zero gradient."""
+    params, emb, eot, deep = setup
+    prev = L._BLOCK_IMPL
+    L.set_block_impl(impl)
+
+    def loss(d, pack):
+        prev_p = T._TEXT_PACK
+        T.set_text_pack(pack)
+        try:
+            out = T.text_forward(params, emb, eot, n_head=1, deep_prompts=d)
+        finally:
+            T.set_text_pack(prev_p)
+        return jnp.sum(out * out)
+
+    try:
+        g_ref = jax.grad(loss)(deep, 1)
+        g_packed = jax.grad(loss)(deep, 2)
+    finally:
+        L.set_block_impl(prev)
+    assert np.abs(np.asarray(g_ref)).max() > 1e-6
+    np.testing.assert_allclose(
+        np.asarray(g_packed), np.asarray(g_ref), rtol=5e-4, atol=1e-5
+    )
