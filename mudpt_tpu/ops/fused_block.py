@@ -171,6 +171,65 @@ def _head_probs(q, k, scale, mask):
     return jax.nn.softmax(scores, axis=-1)
 
 
+def _attn_block_spec(S, causal):
+    """(block_len, mask) the attention loops run over.  A ``(period,
+    valid)`` packed spec runs PER-SEQUENCE attention over aligned row
+    blocks — the packed projections keep their big-M matmuls while the
+    score/AV matmuls and softmax stay at single-sequence size (no ×G FLOP
+    inflation, unlike the block-diagonal-mask fallback)."""
+    if isinstance(causal, tuple):
+        period, valid = causal
+        return period, _causal_mask(period, (period, valid))
+    if causal:
+        return S, _causal_mask(S)
+    return S, None
+
+
+def _mha_acc(qkv, acc_ref, *, n_head, causal, act_dtype):
+    """Multi-head attention from a packed qkv into the accumulator ref,
+    looping (sequence block × head)."""
+    S = qkv.shape[0]
+    D = qkv.shape[1] // 3
+    hd = D // n_head
+    P, mask = _attn_block_spec(S, causal)
+    for g in range(S // P):
+        rows = slice(g * P, (g + 1) * P)
+        qkv_g = qkv if P == S else qkv[rows]
+        for h in range(n_head):
+            q, k, v = _head_qkv(qkv_g, D, hd, h)
+            p = _head_probs(q, k, hd ** -0.5, mask)
+            o = jax.lax.dot_general(
+                p.astype(act_dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc_ref[rows, h * hd : (h + 1) * hd] = o.astype(acc_ref.dtype)
+
+
+def _mha_grads_into(qkv, d_acc, dqkv_ref, *, n_head, causal, dtype):
+    """dq/dk/dv of every (sequence block × head) into the dqkv ref."""
+    S = qkv.shape[0]
+    D = qkv.shape[1] // 3
+    hd = D // n_head
+    scale = hd ** -0.5
+    P, mask = _attn_block_spec(S, causal)
+    for g in range(S // P):
+        rows = slice(g * P, (g + 1) * P)
+        qkv_g = qkv if P == S else qkv[rows]
+        d_acc_g = d_acc if P == S else d_acc[rows]
+        for h in range(n_head):
+            q, k, v = _head_qkv(qkv_g, D, hd, h)
+            p = _head_probs(q, k, scale, mask)
+            do = d_acc_g[:, h * hd : (h + 1) * hd]
+            dq, dk, dv = _head_grads(p, q, k, v, do, scale, dtype)
+            dqkv_ref[rows, h * hd : (h + 1) * hd] = dq.astype(dqkv_ref.dtype)
+            dqkv_ref[rows, D + h * hd : D + (h + 1) * hd] = dk.astype(
+                dqkv_ref.dtype
+            )
+            dqkv_ref[rows, 2 * D + h * hd : 2 * D + (h + 1) * hd] = dv.astype(
+                dqkv_ref.dtype
+            )
+
+
 def _head_grads(p, q, k, v, do, scale, dtype):
     """dq, dk, dv of one softmax-attention head.
 
@@ -225,18 +284,8 @@ def _attn_finish(x, acc, out_w, out_b):
 def _attn_fwd_kernel(x_ref, ln_s, ln_b, qkv_w, qkv_b, out_w, out_b, y_ref,
                      acc_ref, *, n_head, causal):
     x = x_ref[0]
-    S, D = x.shape
-    hd = D // n_head
     qkv = _attn_project(x, ln_s, ln_b, qkv_w, qkv_b)
-    mask = _causal_mask(S, causal) if causal else None
-    for h in range(n_head):
-        q, k, v = _head_qkv(qkv, D, hd, h)
-        p = _head_probs(q, k, hd ** -0.5, mask)
-        o = jax.lax.dot_general(
-            p.astype(x.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        acc_ref[:, h * hd : (h + 1) * hd] = o.astype(acc_ref.dtype)
+    _mha_acc(qkv, acc_ref, n_head=n_head, causal=causal, act_dtype=x.dtype)
     y_ref[0] = _attn_finish(x, acc_ref[...], out_w, out_b)
 
 
@@ -244,46 +293,24 @@ def _attn_fwd_save_kernel(x_ref, ln_s, ln_b, qkv_w, qkv_b, out_w, out_b,
                           y_ref, qkv_ref, acc_ref, *, n_head, causal):
     """Forward that additionally stores the bf16 QKV projection."""
     x = x_ref[0]
-    S, D = x.shape
-    hd = D // n_head
     qkv = _attn_project(x, ln_s, ln_b, qkv_w, qkv_b)
     qkv_ref[0] = qkv
-    mask = _causal_mask(S, causal) if causal else None
-    for h in range(n_head):
-        q, k, v = _head_qkv(qkv, D, hd, h)
-        p = _head_probs(q, k, hd ** -0.5, mask)
-        o = jax.lax.dot_general(
-            p.astype(x.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        acc_ref[:, h * hd : (h + 1) * hd] = o.astype(acc_ref.dtype)
+    _mha_acc(qkv, acc_ref, n_head=n_head, causal=causal, act_dtype=x.dtype)
     y_ref[0] = _attn_finish(x, acc_ref[...], out_w, out_b)
 
 
 def _attn_bwd_core(x, qkv, g, ln_s, ln_b, qkv_w, out_w, dqkv_ref, *,
                    n_head, causal):
     """dx given the (saved or recomputed) QKV projection."""
-    S, D = x.shape
-    hd = D // n_head
-    scale = hd ** -0.5
-    mask = _causal_mask(S, causal) if causal else None
-
     # d(attn pre-out) = g @ out_w^T  (contract output dim)
     d_acc = jax.lax.dot_general(
         g, out_w[...].astype(g.dtype), (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (S, D) fp32
 
-    for h in range(n_head):
-        q, k, v = _head_qkv(qkv, D, hd, h)
-        p = _head_probs(q, k, scale, mask)
-        do = d_acc[:, h * hd : (h + 1) * hd]
-        dq, dk, dv = _head_grads(p, q, k, v, do, scale, x.dtype)
-        dqkv_ref[:, h * hd : (h + 1) * hd] = dq.astype(dqkv_ref.dtype)
-        dqkv_ref[:, D + h * hd : D + (h + 1) * hd] = dk.astype(dqkv_ref.dtype)
-        dqkv_ref[:, 2 * D + h * hd : 2 * D + (h + 1) * hd] = dv.astype(
-            dqkv_ref.dtype
-        )
+    _mha_grads_into(
+        qkv, d_acc, dqkv_ref, n_head=n_head, causal=causal, dtype=x.dtype
+    )
 
     dxn = jax.lax.dot_general(               # dqkv @ qkv_w^T
         dqkv_ref[...].astype(x.dtype), qkv_w[...].astype(x.dtype),
@@ -774,19 +801,9 @@ def _layer_fwd_kernel(x_ref, ln1_s, ln1_b, qkv_w, qkv_b, out_w, out_b,
                       y_ref, y1_ref, qkv_ref, h_ref, acc_ref, *, n_head,
                       causal):
     x = x_ref[0]
-    S, D = x.shape
-    hd = D // n_head
     qkv = _attn_project(x, ln1_s, ln1_b, qkv_w, qkv_b)
     qkv_ref[0] = qkv
-    mask = _causal_mask(S, causal) if causal else None
-    for h in range(n_head):
-        q, k, v = _head_qkv(qkv, D, hd, h)
-        p = _head_probs(q, k, hd ** -0.5, mask)
-        o = jax.lax.dot_general(
-            p.astype(x.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        acc_ref[:, h * hd : (h + 1) * hd] = o.astype(acc_ref.dtype)
+    _mha_acc(qkv, acc_ref, n_head=n_head, causal=causal, act_dtype=x.dtype)
     y1 = _attn_finish(x, acc_ref[...], out_w, out_b)
     y1_ref[0] = y1
     h32 = _mlp_pre(y1, ln2_s, ln2_b, fc_w, fc_b)
@@ -804,18 +821,8 @@ def _layer_fwd_nosave_kernel(x_ref, ln1_s, ln1_b, qkv_w, qkv_b, out_w, out_b,
                              y_ref, acc_ref, *, n_head, causal):
     # inference-only variant of _layer_fwd_kernel: no y1/qkv/h HBM writes
     x = x_ref[0]
-    S, D = x.shape
-    hd = D // n_head
     qkv = _attn_project(x, ln1_s, ln1_b, qkv_w, qkv_b)
-    mask = _causal_mask(S, causal) if causal else None
-    for h in range(n_head):
-        q, k, v = _head_qkv(qkv, D, hd, h)
-        p = _head_probs(q, k, hd ** -0.5, mask)
-        o = jax.lax.dot_general(
-            p.astype(x.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        acc_ref[:, h * hd : (h + 1) * hd] = o.astype(acc_ref.dtype)
+    _mha_acc(qkv, acc_ref, n_head=n_head, causal=causal, act_dtype=x.dtype)
     y1 = _attn_finish(x, acc_ref[...], out_w, out_b)
     h32 = _mlp_pre(y1, ln2_s, ln2_b, fc_w, fc_b)
     a = _quick_gelu(h32).astype(y1.dtype)

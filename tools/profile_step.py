@@ -119,19 +119,30 @@ def main() -> None:
     planes.sort(key=os.path.getmtime)
     assert planes, f"no xplane under {args.outdir}"
     data, _ = rtd.xspace_to_tool_data([planes[-1]], "framework_op_stats", {})
-    import csv
-    import io
+    import json as _json
 
-    rows = list(csv.DictReader(io.StringIO(data.decode() if isinstance(data, bytes) else data)))
-    rows.sort(key=lambda r: -float(r.get("Total self-time (us)", 0) or 0))
-    total = sum(float(r.get("Total self-time (us)", 0) or 0) for r in rows)
-    print(f"total self-time: {total/1e3:.1f} ms over {args.steps} steps")
-    print(f"{'op':60s} {'self_ms':>9s} {'%':>6s} {'occ':>5s}")
+    tables = _json.loads(data.decode() if isinstance(data, bytes) else data)
+    table = tables[0] if isinstance(tables, list) else tables
+    ids = [c["id"] for c in table["cols"]]
+    rows = []
+    for r in table["rows"]:
+        vals = {i: (c or {}).get("v") for i, c in zip(ids, r["c"])}
+        if vals.get("host_or_device") == "Host":
+            continue
+        rows.append(vals)
+    rows.sort(key=lambda r: -(r.get("total_self_time") or 0))
+    total = sum(r.get("total_self_time") or 0 for r in rows)
+    print(f"device total self-time: {total/1e3:.1f} ms over {args.steps} steps")
+    print(f"{'op':64s} {'self_ms':>9s} {'%':>6s} {'occ':>6s} {'GB/s':>7s}")
     for r in rows[: args.top]:
-        name = (r.get("Operation") or r.get("Op name") or "?")[:60]
-        t_us = float(r.get("Total self-time (us)", 0) or 0)
-        occ = r.get("#Occurrences", "?")
-        print(f"{name:60s} {t_us/1e3:9.2f} {100*t_us/max(total,1):6.1f} {occ:>5s}")
+        name = str(r.get("operation", "?"))[:64]
+        t_us = r.get("total_self_time") or 0
+        occ = r.get("occurrences") or 0
+        bw = r.get("measured_memory_bw") or 0
+        print(
+            f"{name:64s} {t_us/1e3:9.2f} {100*t_us/max(total,1):6.1f} "
+            f"{occ:6d} {bw:7.1f}"
+        )
 
 
 if __name__ == "__main__":
