@@ -35,16 +35,32 @@ def causal_mask(context_length: int) -> jax.Array:
 # Text-row packing factor: pack G independent 77-token class sequences into
 # one kernel row of G*80 tokens (80 = 77 rounded to the 8-sublane grid).
 # The per-token projections (12·D² of the layer's ~13·D²-units of matmul)
-# then run at M = G·80 rows per Pallas program instead of 77 — the lever
-# for the large-n_cls text tower (ImageNet sweeps re-encode n_cls×77 every
-# step).  Attention cost inflates ×G (block-diagonal mask over the packed
-# row) but is only ~5% of text-layer FLOPs at D=512.  Default 1 (off).
-_TEXT_PACK = int(os.environ.get("MUDPT_TPU_TEXT_PACK", "1"))
+# then run at M = G·80 rows per Pallas program instead of 77, and the grid
+# shrinks ×G — the lever for the large-n_cls text tower (ImageNet sweeps
+# re-encode n_cls×77 every step).  The Pallas kernels run PER-SEQUENCE
+# block attention (ops/fused_block._attn_block_spec), so score/softmax
+# cost does not inflate.  Measured at n_cls=1000, B=192 (docs/BENCHMARKS.md
+# round 3): G=1 812 img/s, G=2 861.6, **G=4 870.2 (+7.2%)**, G=8 842.5.
+# 0 = auto: G=4 on the TPU Pallas path when the row count is large enough
+# to amortize; 1 = off; explicit G forces.
+_TEXT_PACK = int(os.environ.get("MUDPT_TPU_TEXT_PACK", "0"))
+_AUTO_PACK_G = 4
+_AUTO_PACK_MIN_ROWS = 256
 
 
 def set_text_pack(g: int) -> None:
     global _TEXT_PACK
-    _TEXT_PACK = max(1, int(g))
+    _TEXT_PACK = max(0, int(g))
+
+
+def _resolve_pack(n_rows: int) -> int:
+    if _TEXT_PACK != 0:
+        return _TEXT_PACK
+    from mudpt_tpu.models.layers import resolve_block_impl
+
+    if resolve_block_impl() == "pallas" and n_rows >= _AUTO_PACK_MIN_ROWS:
+        return _AUTO_PACK_G
+    return 1
 
 
 def packed_causal_mask(total: int, period: int, valid: int) -> jax.Array:
@@ -83,7 +99,7 @@ def text_forward(
     num_layers = jax.tree_util.tree_leaves(p["blocks"])[0].shape[0]
     prompts, pmask = make_injection_schedule(num_layers, deep_prompts)
 
-    G = _TEXT_PACK if (is_causal and x.ndim == 3) else 1
+    G = _resolve_pack(x.shape[0]) if (is_causal and x.ndim == 3) else 1
     if G > 1:
         # pack G class rows per kernel row: (N, S, D) -> (N/G, G*P, D),
         # P = S rounded to the sublane grid, sequences at offsets g*P
