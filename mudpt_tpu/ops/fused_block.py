@@ -83,7 +83,10 @@ def saved_fraction_for_width(width: int) -> float:
     if width <= 768:
         return 0.96
     if width <= 1024:
-        return 0.65
+        # MUDPT_TPU_SAVE_MLP_WIDE lifts the MLP h-save gate to D=1024
+        # (fits HBM at ViT-L batch <= ~112; +4.6% and model-MFU 0.706 at
+        # B=96 — docs/BENCHMARKS.md round 3)
+        return 0.96 if os.environ.get("MUDPT_TPU_SAVE_MLP_WIDE") == "1" else 0.65
     return SAVED_FWD_FRACTION_RECOMPUTE
 
 
