@@ -357,8 +357,14 @@ def _run(args) -> None:
         # towers take the full in-kernel recompute — ops/fused_block.py),
         # XLA blocks recompute the whole forward under full remat
         if _rbi() == "pallas":
+            from mudpt_tpu.models import text as _TX
+
             vis_frac = _FB.saved_fraction_for_width(clip_cfg.vision_width)
-            txt_frac = _FB.saved_fraction_for_width(clip_cfg.transformer_width)
+            txt_frac = (
+                _FB.SAVED_FWD_FRACTION_RECOMPUTE
+                if _TX._text_saves_off(args.n_cls)
+                else _FB.saved_fraction_for_width(clip_cfg.transformer_width)
+            )
             recompute = img_fwd * (1.0 - vis_frac) + txt_fwd * (1.0 - txt_frac)
         else:
             recompute = (img_fwd + txt_fwd) if _T._REMAT_MODE != "none" else 0.0

@@ -63,6 +63,22 @@ def _resolve_pack(n_rows: int) -> int:
     return 1
 
 
+# Text-tower backward strategy: at large n_cls the save-acts qkv/h writes
+# for n_cls*77-token rows cost ~9 GB HBM (n_cls=1000) — memory that is
+# better spent on a LARGER IMAGE BATCH, because the per-step text cost is
+# fixed in n_cls while vision throughput improves with batch.  "auto" (default)
+# switches the text tower to recompute-backward when the row count is large;
+# 0/1 force.  The vision tower's strategy is unaffected.
+_TEXT_RECOMPUTE = os.environ.get("MUDPT_TPU_TEXT_RECOMPUTE", "auto")
+_AUTO_RECOMPUTE_MIN_ROWS = 512
+
+
+def _text_saves_off(n_rows: int) -> bool:
+    if _TEXT_RECOMPUTE == "auto":
+        return n_rows >= _AUTO_RECOMPUTE_MIN_ROWS
+    return _TEXT_RECOMPUTE == "1"
+
+
 def packed_causal_mask(total: int, period: int, valid: int) -> jax.Array:
     """Block-causal mask for packed rows (XLA fallback path; the Pallas
     kernels rebuild it in-kernel from the (period, valid) static spec)."""
@@ -99,6 +115,16 @@ def text_forward(
     num_layers = jax.tree_util.tree_leaves(p["blocks"])[0].shape[0]
     prompts, pmask = make_injection_schedule(num_layers, deep_prompts)
 
+    import contextlib
+
+    from mudpt_tpu.ops.fused_block import saved_acts
+
+    ctx_saves = (
+        saved_acts(False)
+        if x.ndim == 3 and _text_saves_off(x.shape[0])
+        else contextlib.nullcontext()
+    )
+
     G = _resolve_pack(x.shape[0]) if (is_causal and x.ndim == 3) else 1
     if G > 1:
         # pack G class rows per kernel row: (N, S, D) -> (N/G, G*P, D),
@@ -108,27 +134,29 @@ def text_forward(
         Npad = -(-N // G) * G
         x = jnp.pad(x, ((0, Npad - N), (0, P - S), (0, 0)))
         x = x.reshape(Npad // G, G * P, D)
-        x = transformer_forward(
-            p["blocks"], x, n_head=n_head,
-            mask=packed_causal_mask(G * P, P, S),  # XLA fallback path
-            prompts=prompts, prompt_mask=pmask, n_ctx=n_ctx,
-            is_text=True, causal=(P, S), splice_period=P,
-        )
+        with ctx_saves:
+            x = transformer_forward(
+                p["blocks"], x, n_head=n_head,
+                mask=packed_causal_mask(G * P, P, S),  # XLA fallback path
+                prompts=prompts, prompt_mask=pmask, n_ctx=n_ctx,
+                is_text=True, causal=(P, S), splice_period=P,
+            )
         x = x.reshape(Npad, P, D)[:N, :S]
     else:
         if is_causal:
             mask = causal_mask(x.shape[1])
-        x = transformer_forward(
-            p["blocks"],
-            x,
-            n_head=n_head,
-            mask=mask,
-            prompts=prompts,
-            prompt_mask=pmask,
-            n_ctx=n_ctx,
-            is_text=True,
-            causal=is_causal,
-        )
+        with ctx_saves:
+            x = transformer_forward(
+                p["blocks"],
+                x,
+                n_head=n_head,
+                mask=mask,
+                prompts=prompts,
+                prompt_mask=pmask,
+                n_ctx=n_ctx,
+                is_text=True,
+                causal=is_causal,
+            )
     x = layer_norm(p["ln_final"], x)
     pooled = jnp.take_along_axis(x, eot_idx[:, None, None], axis=1)[:, 0]
     return jnp.dot(pooled, p["projection"].astype(pooled.dtype))
