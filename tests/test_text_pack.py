@@ -81,3 +81,40 @@ def test_packed_matches_unpacked_grad(setup, impl):
     np.testing.assert_allclose(
         np.asarray(g_packed), np.asarray(g_ref), rtol=5e-4, atol=1e-5
     )
+
+
+@pytest.mark.parametrize("impl", ["xla", "pallas"])
+def test_packed_under_vmap_matches_unpacked(setup, impl):
+    """CoCoOp encodes text inside ``jax.vmap`` over per-instance contexts
+    (trainers/cocoop.py per_instance); the auto-pack trigger fires inside
+    that vmap at ImageNet-scale class counts, so the packed reshape/pad and
+    the Pallas block-attention kernels must batch correctly under vmap —
+    forward and gradient w.r.t. the vmapped context."""
+    params, emb, eot, _ = setup
+    rng = np.random.RandomState(7)
+    ctx = jnp.asarray(rng.randn(2, N_CTX, 64) * 0.1, jnp.float32)
+
+    def per_instance(ctx_i):
+        e = emb.at[:, 1 : 1 + N_CTX].set(ctx_i[None])
+        return T.text_forward(params, e, eot, n_head=1)
+
+    def run(pack):
+        prev_p = T._TEXT_PACK
+        T.set_text_pack(pack)
+        try:
+            out = jax.vmap(per_instance)(ctx)
+            g = jax.grad(lambda c: jnp.sum(jax.vmap(per_instance)(c) ** 2))(ctx)
+            return np.asarray(out), np.asarray(g)
+        finally:
+            T.set_text_pack(prev_p)
+
+    prev = L._BLOCK_IMPL
+    L.set_block_impl(impl)
+    try:
+        o_ref, g_ref = run(1)
+        o_pk, g_pk = run(5)
+    finally:
+        L.set_block_impl(prev)
+    assert np.abs(g_ref).max() > 1e-6
+    np.testing.assert_allclose(o_pk, o_ref, rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(g_pk, g_ref, rtol=5e-4, atol=1e-5)
