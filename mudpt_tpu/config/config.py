@@ -70,12 +70,16 @@ class DataLoaderCfg:
     TEST: LoaderSplitCfg = field(default_factory=lambda: LoaderSplitCfg(BATCH_SIZE=100, SAMPLER="sequential"))
     NUM_WORKERS: int = 8
     PIPELINE: str = "threads"  # threads (PIL) | tfdata (tf.data) | grain
-    # multi-host input strategy for TRAINING: False (default) = every host
-    # decodes the same seed-deterministic global batch (simple, validated);
-    # True = hosts decode disjoint item shards and contribute their slice
-    # of the global batch (scales decode work; requires the mesh data axis
-    # to divide evenly across processes)
-    HOST_SHARD: bool = False
+    # multi-host input strategy for TRAINING and EVAL:
+    #   "auto" (default) — in multi-process runs, hosts decode disjoint item
+    #     shards and contribute their slice of the global batch (decode work
+    #     scales 1/n_hosts) whenever the batch size and the mesh data axis
+    #     divide evenly by the process count; falls back to replicated
+    #     decode otherwise.  Single-process runs are unaffected.
+    #   True/"on" — require sharding (error if the batch is indivisible);
+    #   False/"off" — every host decodes the same seed-deterministic global
+    #     batch (bit-identical to the single-process run; the v1 strategy).
+    HOST_SHARD: str = "auto"
 
 
 @_node
@@ -270,6 +274,10 @@ def _coerce(value: Any, target: Any, key: str):
         return float(value)
     if isinstance(target, tuple) and isinstance(value, (list, tuple)):
         return tuple(value)
+    if isinstance(target, str) and isinstance(value, bool):
+        # tri-state string fields (e.g. DATALOADER.HOST_SHARD) accept YAML
+        # booleans for reference-config compatibility
+        return "True" if value else "False"
     if isinstance(target, str) and value is None:
         return ""
     if type(value) is type(target) or target is None:

@@ -36,9 +36,25 @@ def _train_shuffle(cfg) -> bool:
     return canon[key]
 
 
+def _host_shard_mode(v) -> str:
+    """Normalize DATALOADER.HOST_SHARD to auto|on|off (accepts booleans and
+    their string spellings for reference-YAML compatibility)."""
+    if isinstance(v, bool):
+        return "on" if v else "off"
+    s = str(v).strip().lower()
+    if s in ("true", "1", "yes", "on"):
+        return "on"
+    if s in ("false", "0", "no", "off", ""):
+        return "off"
+    if s == "auto":
+        return "auto"
+    raise ValueError(f"DATALOADER.HOST_SHARD={v!r}: expected auto|on|off")
+
+
 class DataManager:
-    def __init__(self, cfg, dataset=None):
+    def __init__(self, cfg, dataset=None, n_data=None):
         self.cfg = cfg
+        self._n_data = n_data  # mesh data-axis width, when the caller knows it
         if dataset is None:
             _import_datasets()
             dataset_cls = DATASET_REGISTRY.get(cfg.DATASET.NAME)
@@ -50,24 +66,31 @@ class DataManager:
         # shard_batch(host_local=True) assembles the global batch from the
         # slices.  Items are truncated to equal per-host lengths so every
         # host runs the same number of steps (lockstep collectives).
+        # "auto" (default) shards whenever the batch and the mesh data axis
+        # divide by the process count, else falls back to replicated decode.
         self.host_sharded = False
         self.eval_host_sharded = False
+        self._shard_mode = _host_shard_mode(cfg.DATALOADER.HOST_SHARD)
         train_items = dataset.train_x
         train_bs = cfg.DATALOADER.TRAIN_X.BATCH_SIZE
-        if cfg.DATALOADER.HOST_SHARD:
+        if self._shard_mode != "off":
             import jax
 
             n_proc = jax.process_count()
             if n_proc > 1:
-                if train_bs % n_proc:
+                if self._shard_mode == "on" and train_bs % n_proc:
                     raise ValueError(
                         f"DATALOADER.HOST_SHARD: global train batch "
                         f"{train_bs} must divide by process count {n_proc}"
                     )
-                n = (len(train_items) // n_proc) * n_proc
-                train_items = train_items[jax.process_index():n:n_proc]
-                train_bs = train_bs // n_proc
-                self.host_sharded = True
+                if train_bs % n_proc == 0 and (
+                    self._shard_mode == "on"
+                    or self._data_axis_divisible(n_proc)
+                ):
+                    n = (len(train_items) // n_proc) * n_proc
+                    train_items = train_items[jax.process_index():n:n_proc]
+                    train_bs = train_bs // n_proc
+                    self.host_sharded = True
         self._train_items = train_items
         self._train_bs = train_bs
 
@@ -143,6 +166,21 @@ class DataManager:
         self.val_loader = eval_loader(dataset.val)
         self.test_loader = eval_loader(dataset.test)
 
+    def _data_axis_divisible(self, n_proc: int) -> bool:
+        """Whether the mesh's data axis splits evenly across hosts (the
+        shard_batch(host_local=True) requirement).  Uses the caller-provided
+        mesh width when available, else recomputes it the way build_mesh
+        would (PARALLEL.DATA override or device_count // PARALLEL.MODEL)."""
+        n_data = self._n_data
+        if n_data is None:
+            import jax
+
+            par = getattr(self.cfg, "PARALLEL", None)
+            n_model = (getattr(par, "MODEL", 1) or 1) if par else 1
+            n_data = (getattr(par, "DATA", 0) or 0) if par else 0
+            n_data = n_data or jax.device_count() // n_model
+        return n_data % n_proc == 0
+
     def _eval_shard(self, items, test_bs):
         """Pod eval sharding: split every global eval batch into contiguous
         per-host blocks — host h decodes ONLY rows [h·bs_h, (h+1)·bs_h) of
@@ -150,15 +188,17 @@ class DataManager:
         process-ordered block layout), so decode work scales 1/n_hosts and
         the union over hosts covers every item exactly once.  Returns
         (host_items, host_bs, pad_to_batches) — or None when not sharding
-        (single process, HOST_SHARD off, or an indivisible batch size)."""
+        (single process, HOST_SHARD off, an indivisible batch size, or a
+        mesh data axis that does not split across hosts)."""
         import jax
 
         n_proc = jax.process_count()
         if (
-            not self.cfg.DATALOADER.HOST_SHARD
+            self._shard_mode == "off"
             or n_proc == 1
             or test_bs % n_proc
             or not items
+            or not self._data_axis_divisible(n_proc)
         ):
             return None
         bs_h = test_bs // n_proc

@@ -112,7 +112,7 @@ class TrainerBase:
         from mudpt_tpu.models.layers import set_platform_hint
 
         set_platform_hint(self.mesh.mesh.devices.flat[0].platform)
-        self.dm = DataManager(cfg, dataset)
+        self.dm = DataManager(cfg, dataset, n_data=self.mesh.n_data)
         self.num_classes = self.dm.num_classes
         self.classnames = self.dm.classnames
         self.metrics = MetricsLogger(cfg.OUTPUT_DIR)

@@ -54,6 +54,11 @@ def main() -> None:
     if os.environ.get("POD_HOST_SHARD") == "1":
         # scale-up input strategy: disjoint per-host item shards
         cfg.DATALOADER.HOST_SHARD = True
+    else:
+        # pin the replicated-decode path: the baseline pod test asserts
+        # bit-identical losses vs the single-process run, which requires
+        # every host to decode the SAME global batch ("auto" would shard)
+        cfg.DATALOADER.HOST_SHARD = False
 
     trainer = MuDPT(cfg, devices=jax.devices())
     assert trainer.mesh.mesh.devices.size == 8

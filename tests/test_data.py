@@ -118,3 +118,51 @@ def test_train_transform_shapes():
     out = tf(img)
     assert out.shape == (224, 224, 3)
     assert out.dtype == np.float32
+
+
+def test_host_shard_auto_mode(monkeypatch):
+    """DATALOADER.HOST_SHARD='auto' (the default): single-process runs never
+    shard; a (simulated) 2-process run shards train+eval when the batch and
+    mesh data axis divide evenly, and falls back to replicated decode when
+    they don't."""
+    import jax
+
+    from mudpt_tpu.data.manager import _host_shard_mode
+
+    # normalization accepts booleans and their string spellings
+    assert _host_shard_mode(True) == "on"
+    assert _host_shard_mode(False) == "off"
+    assert _host_shard_mode("True") == "on"
+    assert _host_shard_mode("false") == "off"
+    assert _host_shard_mode("auto") == "auto"
+
+    cfg = default_config()
+    cfg.DATASET.NAME = "Synthetic"
+    cfg.INPUT.SIZE = (16, 16)
+    cfg.DATALOADER.TRAIN_X.BATCH_SIZE = 4
+    cfg.DATALOADER.TEST.BATCH_SIZE = 8
+    assert cfg.DATALOADER.HOST_SHARD == "auto"
+
+    dm = DataManager(cfg, n_data=8)  # single process: no sharding
+    assert not dm.host_sharded and not dm.eval_host_sharded
+    dataset = dm.dataset
+
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    dm2 = DataManager(cfg, dataset=dataset, n_data=8)
+    assert dm2.host_sharded and dm2.eval_host_sharded
+    assert len(dm2._train_items) == len(dataset.train_x) // 2
+    assert dm2._train_bs == 2
+
+    # data axis indivisible by process count -> auto falls back
+    dm3 = DataManager(cfg, dataset=dataset, n_data=3)
+    assert not dm3.host_sharded and not dm3.eval_host_sharded
+
+    # indivisible train batch -> train falls back, eval still shards
+    cfg.DATALOADER.TRAIN_X.BATCH_SIZE = 5
+    dm4 = DataManager(cfg, dataset=dataset, n_data=8)
+    assert not dm4.host_sharded and dm4.eval_host_sharded
+
+    # explicit "on" requires a divisible train batch
+    cfg.DATALOADER.HOST_SHARD = True
+    with pytest.raises(ValueError):
+        DataManager(cfg, dataset=dataset, n_data=8)
