@@ -30,7 +30,9 @@ from mudpt_tpu.ops import fused_block as FB
 from mudpt_tpu.trainers.cocoop import cocoop_forward
 from mudpt_tpu.trainers.coop import coop_forward
 from mudpt_tpu.trainers.mudpt import mudpt_forward
+from mudpt_tpu.trainers.umudpt import umudpt_forward
 from mudpt_tpu.trainers.uumudpt import uumudpt_forward
+from mudpt_tpu.trainers.vpt import vpt_forward
 
 from tests.test_zoo_parity import (
     CLASSNAMES,
@@ -255,6 +257,122 @@ def test_cocoop_grad_parity():
             "linear1": glin(pl.meta_net.linear1),
             "linear2": glin(pl.meta_net.linear2),
         },
+    }
+    _assert_grad_tree_close(grads, ref_grads)
+
+
+def test_umudpt_grad_parity():
+    cfg = _base_cfg("UMuDPT", N_CTX=2, CTX_INIT="", DEEP_PROMPT_DEPTH=2,
+                    PREC="fp32")
+    torch, clip_mod, tmod = _setup("umudpt", cfg)
+    clip_model = _tiny_clip(clip_mod, cfg=cfg)
+    ref = tmod.CustomCLIP(cfg, CLASSNAMES, clip_model).float().eval()
+
+    clip_cfg, frozen = _backbone(clip_model)
+    pl = ref.umudpt_prompt_learner
+    aux = _aux_from_learner(pl)
+    from tests.test_zoo_parity import _head_from_ref
+
+    trainable = {
+        "ctx": t(pl.ctx),
+        "deep_prompts": t(pl.deep_prompts),
+        "t2v": _head_from_ref(pl.ln_pre, pl.self_attn, pl.ln_post,
+                              pl.visual_proj),
+    }
+    images = _images()
+
+    # trainable set = 'prompt_learner' names only (reference
+    # trainers/umudpt.py:252-255): ctx + deep prompts + the t2v
+    # LightTransformer head; the ViT side has no prompt params of its own
+    torch_params = [
+        pl.ctx, pl.deep_prompts,
+        pl.ln_pre.weight, pl.ln_pre.bias,
+        pl.self_attn.ln_1.weight, pl.self_attn.ln_1.bias,
+        pl.self_attn.attn.in_proj_weight, pl.self_attn.attn.in_proj_bias,
+        pl.self_attn.attn.out_proj.weight, pl.self_attn.attn.out_proj.bias,
+        pl.self_attn.ln_2.weight, pl.self_attn.ln_2.bias,
+        pl.self_attn.mlp.c_fc.weight, pl.self_attn.mlp.c_fc.bias,
+        pl.self_attn.mlp.c_proj.weight, pl.self_attn.mlp.c_proj.bias,
+        pl.ln_post.weight, pl.ln_post.bias,
+        pl.visual_proj.weight, pl.visual_proj.bias,
+    ]
+    ref_loss = _torch_backward(torch, ref, images, torch_params)
+    our_loss, grads = _jax_loss_and_grads(
+        umudpt_forward, trainable, frozen, aux, images, clip_cfg
+    )
+    assert abs(ref_loss - our_loss) < 1e-4
+
+    ref_grads = {
+        "ctx": g(pl.ctx),
+        "deep_prompts": g(pl.deep_prompts),
+        "t2v": _head_grads(pl.ln_pre, pl.self_attn, pl.ln_post,
+                           pl.visual_proj),
+    }
+    _assert_grad_tree_close(grads, ref_grads)
+
+
+def test_vpt_mpt_grad_parity():
+    """The MPT configuration (text AND visual prompts enabled) — the
+    reference trainable rule is any name containing 'visual_ctx'
+    (vpt.py:141-144, mpt.py:196-202), which selects the ViT-owned layer-0
+    prompt plus the per-block params on BOTH towers (text-layer prompts are
+    also named visual_ctx — SURVEY.md §2.3).  The reference CustomCLIP
+    forward is reproduced minus the TextPromptLearner .cuda() bug
+    (vpt.py:69), exactly as in the forward-parity test."""
+    import torch.nn.functional as F
+
+    cfg = _base_cfg(
+        "VPT", DEEP_TEXT_N_CTX=2, DEEP_VISUAL_N_CTX=3, TEXT_PROMPT_DEPTH=2,
+        VISUAL_PROMPT_DEPTH=2, TEXT_CTX_INIT="a photo of a", PREC="fp32",
+    )
+    torch, clip_mod, tmod = _setup("vpt", cfg)
+    clip_model = _tiny_clip(clip_mod, cfg=cfg)
+    ref = tmod.CustomCLIP(cfg, CLASSNAMES, clip_model).float().eval()
+    prompts_embed = ref.text_prompt_learner.prompts
+
+    clip_cfg, frozen = _backbone(clip_model)
+    vis = clip_model.visual
+    vis_blk_ctx = vis.transformer.resblocks[1].visual_ctx
+    text_blk_ctx = clip_model.transformer.resblocks[1].visual_ctx
+    trainable = {
+        "visual_ctx": t(vis.visual_ctx),
+        "visual_deep_prompts": jnp.stack([t(vis_blk_ctx)]),
+        "text_deep_prompts": jnp.stack([t(text_blk_ctx)]),
+    }
+    pl = ref.text_prompt_learner
+    aux = {
+        "token_prefix": t(prompts_embed[:, :1]),
+        "token_suffix": t(prompts_embed[:, 1:]),
+        "eot_idx": jnp.asarray(
+            pl.tokenized_prompted.argmax(dim=-1).numpy().astype(np.int32)
+        ),
+    }
+    images = _images()
+
+    torch_params = [vis.visual_ctx, vis_blk_ctx, text_blk_ctx]
+    for p in ref.parameters():
+        p.requires_grad_(False)
+    for p in torch_params:
+        p.requires_grad_(True)
+        p.grad = None
+    img_feats = vis(torch.from_numpy(images))
+    txt_feats = ref.text_encoder(prompts_embed, pl.tokenized_prompted)
+    img_feats = img_feats / img_feats.norm(dim=-1, keepdim=True)
+    txt_feats = txt_feats / txt_feats.norm(dim=-1, keepdim=True)
+    logits = clip_model.logit_scale.exp() * img_feats @ txt_feats.t()
+    loss = F.cross_entropy(logits, torch.from_numpy(LABELS))
+    loss.backward()
+    ref_loss = float(loss.detach())
+
+    our_loss, grads = _jax_loss_and_grads(
+        vpt_forward, trainable, frozen, aux, images, clip_cfg
+    )
+    assert abs(ref_loss - our_loss) < 1e-4
+
+    ref_grads = {
+        "visual_ctx": g(vis.visual_ctx),
+        "visual_deep_prompts": np.stack([g(vis_blk_ctx)]),
+        "text_deep_prompts": np.stack([g(text_blk_ctx)]),
     }
     _assert_grad_tree_close(grads, ref_grads)
 
