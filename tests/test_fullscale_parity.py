@@ -15,7 +15,7 @@ import pytest
 
 import jax.numpy as jnp
 
-from mudpt_tpu.models.clip import clip_forward
+from mudpt_tpu.models.clip import cast_matmul_weights, clip_forward
 from mudpt_tpu.models.convert import torch_state_dict_to_jax
 from mudpt_tpu.tokenizer import tokenize
 from mudpt_tpu.trainers.mudpt import mudpt_forward
@@ -46,9 +46,10 @@ def torch_mods():
     return torch, importlib.import_module("clip.model"), importlib
 
 
-def test_fullscale_zeroshot_parity(torch_mods):
-    """Zero-shot logits at full scale: encode_image + encode_text + cosine
-    head vs the reference CLIP.forward (clip/model.py:840-854)."""
+@pytest.fixture(scope="module")
+def zeroshot_fullscale(torch_mods):
+    """Full-scale plain CLIP + transplanted JAX params + reference fp32
+    logits, shared by the fp32- and bf16-path zeroshot tests."""
     torch, clip_mod, _ = torch_mods
     torch.manual_seed(5)
     ref = clip_mod.CLIP(**B16, cfg=None).float().eval()
@@ -58,13 +59,20 @@ def test_fullscale_zeroshot_parity(torch_mods):
 
     prompts = [f"a photo of a {c}." for c in CLASSNAMES]
     tokens = tokenize(prompts)
-    images = _images()
+    images = _images(b=4)
 
     with torch.no_grad():
         ref_logits, _ = ref(
             torch.from_numpy(images), torch.from_numpy(tokens.astype(np.int64))
         )
         ref_logits = ref_logits.numpy()
+    return clip_cfg, params, tokens, images, ref_logits
+
+
+def test_fullscale_zeroshot_parity(zeroshot_fullscale):
+    """Zero-shot logits at full scale: encode_image + encode_text + cosine
+    head vs the reference CLIP.forward (clip/model.py:840-854)."""
+    clip_cfg, params, tokens, images, ref_logits = zeroshot_fullscale
 
     ours, _ = clip_forward(
         params, jnp.asarray(images.transpose(0, 2, 3, 1)),
@@ -75,10 +83,42 @@ def test_fullscale_zeroshot_parity(torch_mods):
     assert (ours.argmax(-1) == ref_logits.argmax(-1)).all()
 
 
-def test_fullscale_mudpt_parity(torch_mods):
-    """MuDPT CustomCLIP at full scale (depth 9, n_ctx 2): bidirectional
-    coupling + deep splices over 199-token visual / 77-token text sequences
-    with 12-head reshapes (reference trainers/mudpt.py:117-184)."""
+def test_fullscale_bf16_drift_vs_reference(zeroshot_fullscale):
+    """The TPU production path (bf16 matmul weights + bf16 compute,
+    fp32 LayerNorm — what `PREC: fp16` runs, docs/PARITY.md) against the
+    REFERENCE's fp32 logits at full scale.  test_precision_drift.py bounds
+    bf16 drift against our own fp32; this bounds it against the oracle, so
+    a bf16-path-only bug (a cast placed before a LayerNorm, a bf16
+    accumulation where fp32 is required) that tracked our own fp32 path
+    could not hide.  Calibrated drift at these shapes: ~1.2% of the logit
+    scale; bound at 5%.  Ranking: every top-1 whose reference margin
+    exceeds the observed drift band must survive."""
+    clip_cfg, params, tokens, images, ref_logits = zeroshot_fullscale
+
+    p16 = cast_matmul_weights(params, jnp.bfloat16)
+    ours16, _ = clip_forward(
+        p16, jnp.asarray(images.transpose(0, 2, 3, 1)),
+        jnp.asarray(tokens), clip_cfg, compute_dtype=jnp.bfloat16,
+    )
+    a = np.asarray(ref_logits, np.float64)
+    b = np.asarray(ours16, np.float64)
+
+    band = np.abs(a - b).max()
+    rel = band / np.abs(a).max()
+    assert rel < 0.05, f"bf16-vs-reference drift too large: {rel:.4f}"
+
+    sorted_ref = np.sort(a, axis=-1)
+    margin = sorted_ref[:, -1] - sorted_ref[:, -2]
+    decisive = margin > band
+    assert decisive.sum() >= len(a) // 2, "margins too degenerate to test"
+    assert (a.argmax(-1)[decisive] == b.argmax(-1)[decisive]).all()
+
+
+@pytest.fixture(scope="module")
+def mudpt_fullscale(torch_mods):
+    """Full-scale MuDPT CustomCLIP (depth 9, n_ctx 2) + the transplanted
+    JAX trees, shared by the forward- and gradient-parity tests (building
+    the 12-layer model twice would double the test cost)."""
     torch, clip_mod, importlib = torch_mods
     from yacs.config import CfgNode
 
@@ -122,6 +162,15 @@ def test_fullscale_mudpt_parity(torch_mods):
             pl.tokenized_prompts.argmax(dim=-1).numpy().astype(np.int32)
         ),
     }
+    return ref, clip_cfg, frozen, trainable, aux
+
+
+def test_fullscale_mudpt_parity(torch_mods, mudpt_fullscale):
+    """MuDPT CustomCLIP at full scale (depth 9, n_ctx 2): bidirectional
+    coupling + deep splices over 199-token visual / 77-token text sequences
+    with 12-head reshapes (reference trainers/mudpt.py:117-184)."""
+    torch, _, _ = torch_mods
+    ref, clip_cfg, frozen, trainable, aux = mudpt_fullscale
 
     images = _images()
     with torch.no_grad():
@@ -136,3 +185,54 @@ def test_fullscale_mudpt_parity(torch_mods):
     )
     np.testing.assert_allclose(ours, ref_logits, rtol=1e-3, atol=1e-3)
     assert (ours.argmax(-1) == ref_logits.argmax(-1)).all()
+
+
+def test_fullscale_mudpt_grad_parity(torch_mods, mudpt_fullscale):
+    """Gradient parity at FULL scale: torch loss.backward() grads of every
+    trainable MuDPT leaf (reference trainers/mudpt.py:235-251 semantics) vs
+    jax.grad through real 12-head/768-wide towers and 199/77-token
+    sequences.  The tiny-scale test_grad_parity.py certifies the math and
+    the Pallas custom-vjp; this certifies the gradient path at the shapes
+    training actually uses (12-head attention reshape transposes, depth-9
+    splice schedule, full-vocab EOT gathers)."""
+    torch, _, _ = torch_mods
+    from tests.test_grad_parity import (
+        LABELS,
+        _assert_grad_tree_close,
+        _jax_loss_and_grads,
+        _torch_backward,
+        g,
+        glin,
+    )
+
+    ref, clip_cfg, frozen, trainable, aux = mudpt_fullscale
+    pl = ref.mudpt_prompt_learner
+    ie = ref.image_encoder
+    images = _images()
+
+    # trainable set = 'prompt_learner' + 'visual_ctx' names
+    # (reference trainers/mudpt.py:205-212)
+    torch_params = [
+        pl.ctx, pl.deep_prompts,
+        pl.embed_projection.weight, pl.embed_projection.bias,
+        pl.deep_projections.weight, pl.deep_projections.bias,
+        ie.visual_ctx, ie.visual_ctx_deep_prompts,
+        ie.visual_ctx_deep_projections.weight,
+        ie.visual_ctx_deep_projections.bias,
+    ]
+    ref_loss = _torch_backward(torch, ref, images, torch_params)
+    our_loss, grads = _jax_loss_and_grads(
+        mudpt_forward, trainable, frozen, aux, images, clip_cfg
+    )
+    assert abs(ref_loss - our_loss) < 1e-4
+
+    ref_grads = {
+        "ctx": g(pl.ctx),
+        "deep_prompts": g(pl.deep_prompts),
+        "embed_projection": glin(pl.embed_projection),
+        "deep_projections": glin(pl.deep_projections),
+        "visual_ctx": g(ie.visual_ctx),
+        "visual_ctx_deep_prompts": g(ie.visual_ctx_deep_prompts),
+        "visual_ctx_deep_projections": glin(ie.visual_ctx_deep_projections),
+    }
+    _assert_grad_tree_close(grads, ref_grads)
