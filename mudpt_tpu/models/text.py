@@ -53,12 +53,21 @@ def set_text_pack(g: int) -> None:
     _TEXT_PACK = max(0, int(g))
 
 
-def _resolve_pack(n_rows: int) -> int:
+def _resolve_pack(n_rows: int, num_layers: int) -> int:
     if _TEXT_PACK != 0:
         return _TEXT_PACK
     from mudpt_tpu.models.layers import resolve_block_impl
+    from mudpt_tpu.models.transformer import _resolve_unroll
 
-    if resolve_block_impl() == "pallas" and n_rows >= _AUTO_PACK_MIN_ROWS:
+    # packed rows require the fully-unrolled static path (transformer.py
+    # raises on the rolled scan) — auto must not engage under a rolled-scan
+    # A/B (MUDPT_TPU_SCAN_UNROLL below the tower depth); an explicit G
+    # still forces (and gets the loud error).
+    if (
+        resolve_block_impl() == "pallas"
+        and n_rows >= _AUTO_PACK_MIN_ROWS
+        and _resolve_unroll() >= num_layers
+    ):
         return _AUTO_PACK_G
     return 1
 
@@ -80,12 +89,13 @@ def _text_saves_off(n_rows: int) -> bool:
 
 
 def packed_causal_mask(total: int, period: int, valid: int) -> jax.Array:
-    """Block-causal mask for packed rows (XLA fallback path; the Pallas
-    kernels rebuild it in-kernel from the (period, valid) static spec)."""
-    i = jnp.arange(total)[:, None]
-    j = jnp.arange(total)[None, :]
-    ok = (j <= i) & ((i // period) == (j // period)) & ((j % period) < valid)
-    return jnp.where(ok, 0.0, -jnp.inf).astype(jnp.float32)
+    """Block-causal mask for packed rows (XLA fallback path) — the ONE
+    packed-mask formula lives in ops/fused_block._causal_mask (the Pallas
+    kernels rebuild it in-kernel from the same (period, valid) spec), so
+    the two paths cannot drift."""
+    from mudpt_tpu.ops.fused_block import _causal_mask
+
+    return _causal_mask(total, (period, valid))
 
 
 def embed_tokens(p, tokens: jax.Array, compute_dtype) -> jax.Array:
@@ -125,7 +135,7 @@ def text_forward(
         else contextlib.nullcontext()
     )
 
-    G = _resolve_pack(x.shape[0]) if (is_causal and x.ndim == 3) else 1
+    G = _resolve_pack(x.shape[0], num_layers) if (is_causal and x.ndim == 3) else 1
     if G > 1:
         # pack G class rows per kernel row: (N, S, D) -> (N/G, G*P, D),
         # P = S rounded to the sublane grid, sequences at offsets g*P

@@ -1,6 +1,7 @@
 from mudpt_tpu.parallel.mesh import (
     MeshContext,
     build_mesh,
+    host_rows_slice,
     shard_batch,
     shard_class_tree,
     replicate,
@@ -9,6 +10,7 @@ from mudpt_tpu.parallel.mesh import (
 __all__ = [
     "MeshContext",
     "build_mesh",
+    "host_rows_slice",
     "shard_batch",
     "shard_class_tree",
     "replicate",

@@ -142,6 +142,18 @@ def shard_batch(ctx: MeshContext, batch: dict, host_local: bool = False) -> dict
     return out
 
 
+def host_rows_slice(ctx: MeshContext, n_local: int) -> slice:
+    """Where THIS host's ``n_local`` (unpadded) items sit inside the global
+    array assembled by ``shard_batch(host_local=True)``: each host
+    contributes ``ceil(n_local / rows_unit) * rows_unit`` padded rows, laid
+    out contiguously in process order.  Kept here, next to the padding it
+    mirrors, so consumers (pod-sharded eval) cannot drift from the layout."""
+    rows_unit = ctx.n_data // jax.process_count()
+    host_rows = -(-n_local // rows_unit) * rows_unit
+    start = jax.process_index() * host_rows
+    return slice(start, start + n_local)
+
+
 def shard_class_tree(ctx: MeshContext, tree, pad_to: Optional[int] = None):
     """Shard leading (class) axis on the model axis, padding as needed."""
 

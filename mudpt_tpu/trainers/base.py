@@ -35,7 +35,13 @@ from mudpt_tpu.models.clip import (
     init_clip_params,
 )
 from mudpt_tpu.models.convert import load_clip_checkpoint
-from mudpt_tpu.parallel import build_mesh, replicate, shard_batch, shard_class_tree
+from mudpt_tpu.parallel import (
+    build_mesh,
+    host_rows_slice,
+    replicate,
+    shard_batch,
+    shard_class_tree,
+)
 from mudpt_tpu.trainers.optim import build_optimizer
 from mudpt_tpu.utils.checkpoint import load_checkpoint, restore_into, save_checkpoint
 from mudpt_tpu.utils.logging import MetricsLogger
@@ -438,10 +444,7 @@ class TrainerBase:
             )
             n_local = len(batch["label"])
             if eval_sharded:
-                rows_unit = self.mesh.n_data // jax.process_count()
-                host_rows = -(-n_local // rows_unit) * rows_unit
-                start = jax.process_index() * host_rows
-                preds = preds[start : start + n_local]
+                preds = preds[host_rows_slice(self.mesh, n_local)]
             else:
                 preds = preds[:n_local]
             evaluator.process_preds(preds, batch["label"], batch["valid"])

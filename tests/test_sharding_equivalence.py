@@ -25,17 +25,29 @@ def test_single_vs_mesh_equivalence(tmp_path):
     tr8 = MuDPT(cfg8, devices=devices[:8])
     assert dict(tr8.mesh.mesh.shape) == {"data": 4, "model": 2}
 
-    # identical data (same seed -> same synthetic set); take one test batch
+    # identical data (same seed -> same synthetic set); take one test batch.
+    # Compare FULL logits (the class axis is padded to the model-axis size;
+    # slice back) — _eval_step returns argmax preds, which would hide real
+    # numeric divergence between the layouts.
     batch = next(iter(tr1.dm.test_loader))
-    logits1 = tr1._eval_step(
+
+    def full_logits(tr):
+        images = shard_batch(tr.mesh, batch)["image"]
+        logits = tr.forward(tr.trainable, tr.frozen, tr.aux, images)
+        return np.asarray(logits[:, : tr.num_classes], np.float32)
+
+    logits1, logits8 = full_logits(tr1), full_logits(tr8)
+    np.testing.assert_allclose(logits1, logits8, rtol=1e-5, atol=1e-5)
+
+    # and the production eval path (on-device argmax) agrees bit-for-bit
+    preds1 = tr1._eval_step(
         tr1.trainable, tr1.frozen, tr1.aux, shard_batch(tr1.mesh, batch)["image"]
     )
-    logits8 = tr8._eval_step(
+    preds8 = tr8._eval_step(
         tr8.trainable, tr8.frozen, tr8.aux, shard_batch(tr8.mesh, batch)["image"]
     )
-    np.testing.assert_allclose(
-        np.asarray(logits1), np.asarray(logits8), rtol=1e-5, atol=1e-5
-    )
+    assert (np.asarray(preds1) == np.asarray(preds8)).all()
+    assert (np.asarray(preds1) == logits1.argmax(-1)).all()
 
     # one train step each: losses match
     sb1 = shard_batch(tr1.mesh, batch)

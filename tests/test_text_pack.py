@@ -118,3 +118,21 @@ def test_packed_under_vmap_matches_unpacked(setup, impl):
     assert np.abs(g_ref).max() > 1e-6
     np.testing.assert_allclose(o_pk, o_ref, rtol=2e-5, atol=2e-5)
     np.testing.assert_allclose(g_pk, g_ref, rtol=5e-4, atol=1e-5)
+
+
+def test_auto_pack_requires_unrolled_path(monkeypatch):
+    """Auto packing needs the fully-unrolled static path: under a rolled
+    scan (MUDPT_TPU_SCAN_UNROLL below the tower depth) transformer_forward
+    raises NotImplementedError for packed rows, so _resolve_pack must stay
+    at G=1 there (an explicit MUDPT_TPU_TEXT_PACK=G still forces, and gets
+    the loud error)."""
+    from mudpt_tpu.models import transformer as TR
+
+    monkeypatch.setattr(L, "_BLOCK_IMPL", "pallas")
+    monkeypatch.setattr(T, "_TEXT_PACK", 0)
+
+    monkeypatch.setattr(TR, "_SCAN_UNROLL", "auto")
+    assert T._resolve_pack(1000, num_layers=12) == T._AUTO_PACK_G
+
+    monkeypatch.setattr(TR, "_SCAN_UNROLL", "1")  # rolled-scan A/B knob
+    assert T._resolve_pack(1000, num_layers=12) == 1

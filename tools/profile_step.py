@@ -20,7 +20,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--model", default="ViT-B/16")
+    ap.add_argument("--model", choices=["ViT-B/16", "ViT-L/14"],
+                    default="ViT-B/16")
     ap.add_argument("--batch", type=int, default=192)
     ap.add_argument("--n-cls", type=int, default=1000)
     ap.add_argument("--n-ctx", type=int, default=2)
@@ -30,70 +31,17 @@ def main() -> None:
     ap.add_argument("--outdir", default="/tmp/mudpt_profile")
     args = ap.parse_args()
 
-    import functools
-
     import jax
-    import jax.numpy as jnp
-    import numpy as np
-    import optax
 
-    from mudpt_tpu.models.clip import (
-        VIT_B16,
-        VIT_L14,
-        cast_matmul_weights,
-        init_clip_params,
+    from mudpt_tpu.utils.synth_step import build_synth_mudpt_step
+
+    # the exact step bench.py times — shared builder, cannot drift
+    st = build_synth_mudpt_step(
+        args.model, args.batch, args.n_cls, args.n_ctx, args.depth
     )
-    from mudpt_tpu.trainers.mudpt import mudpt_forward
-    from mudpt_tpu.trainers.prompt_utils import (
-        embed_classnames,
-        init_linear,
-        random_ctx,
-    )
-    from mudpt_tpu.utils.rng import new_rng
-
-    clip_cfg = VIT_B16 if args.model == "ViT-B/16" else VIT_L14
-    params = cast_matmul_weights(init_clip_params(new_rng(0), clip_cfg), jnp.bfloat16)
-    classnames = [f"object number {i}" for i in range(args.n_cls)]
-    aux = embed_classnames(
-        params["text"], classnames, args.n_ctx, "a photo of a"
-    ).as_device_tree()
-    ks = jax.random.split(new_rng(1), 8)
-    dim, vdim = clip_cfg.transformer_width, clip_cfg.vision_width
-    trainable = {
-        "ctx": random_ctx(ks[0], (args.n_ctx, dim)),
-        "deep_prompts": random_ctx(ks[1], (args.depth - 1, args.n_ctx, dim)),
-        "embed_projection": init_linear(ks[2], dim, vdim),
-        "deep_projections": init_linear(ks[3], dim, vdim),
-        "visual_ctx": random_ctx(ks[4], (args.n_ctx, vdim)),
-        "visual_ctx_deep_prompts": random_ctx(
-            ks[5], (args.depth - 1, args.n_ctx, vdim)
-        ),
-        "visual_ctx_deep_projections": init_linear(ks[6], vdim, dim),
-    }
-    tx = optax.sgd(2.5e-3, momentum=0.9)
-    opt_state = tx.init(trainable)
-    forward = functools.partial(
-        mudpt_forward, clip_cfg=clip_cfg, compute_dtype=jnp.bfloat16
-    )
-
-    def loss_fn(tr, frozen, aux, images, labels):
-        logits = forward(tr, frozen, aux, images).astype(jnp.float32)
-        logp = jax.nn.log_softmax(logits, axis=-1)
-        return -jnp.take_along_axis(logp, labels[:, None], axis=1).mean()
-
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def train_step(tr, opt_state, frozen, aux, images, labels):
-        loss, grads = jax.value_and_grad(loss_fn)(tr, frozen, aux, images, labels)
-        updates, opt_state = tx.update(grads, opt_state, tr)
-        return optax.apply_updates(tr, updates), opt_state, loss
-
-    rng = np.random.RandomState(0)
-    images = jnp.asarray(
-        rng.randn(args.batch, clip_cfg.image_resolution,
-                  clip_cfg.image_resolution, 3),
-        jnp.bfloat16,
-    )
-    labels = jnp.asarray(rng.randint(0, args.n_cls, args.batch), jnp.int32)
+    params, aux = st.params, st.aux
+    trainable, opt_state, train_step = st.trainable, st.opt_state, st.train_step
+    images, labels = st.images, st.labels
 
     print("compiling + warmup...", flush=True)
     for _ in range(2):  # compile + warm
