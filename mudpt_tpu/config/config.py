@@ -250,6 +250,11 @@ class Config:
 # Merge machinery
 # ----------------------------------------------------------------------------
 
+# string-typed fields whose value space is {"auto", "True", "False"} and so
+# legitimately accept YAML booleans
+_TRI_STATE_KEYS = frozenset({"DATALOADER.HOST_SHARD"})
+
+
 def _coerce(value: Any, target: Any, key: str):
     """Coerce a YAML/CLI value to the type of the existing field value."""
     if isinstance(value, str):
@@ -275,9 +280,11 @@ def _coerce(value: Any, target: Any, key: str):
     if isinstance(target, tuple) and isinstance(value, (list, tuple)):
         return tuple(value)
     if isinstance(target, str) and isinstance(value, bool):
-        # tri-state string fields (e.g. DATALOADER.HOST_SHARD) accept YAML
-        # booleans for reference-config compatibility
-        return "True" if value else "False"
+        # ONLY the tri-state fields accept YAML booleans (reference-config
+        # compatibility); a bool landing in any other string field (e.g.
+        # ``PIPELINE: true``) is a typo and should fail at merge time
+        if key in _TRI_STATE_KEYS:
+            return "True" if value else "False"
     if isinstance(target, str) and value is None:
         return ""
     if type(value) is type(target) or target is None:

@@ -76,6 +76,12 @@ class GrainLoader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
+    def set_epoch(self, epoch: int):
+        """Fast-forward the epoch counter so a resumed run replays the exact
+        shuffle/augmentation order an uninterrupted run would see (same
+        contract as DataLoader.set_epoch; next __iter__ builds ``epoch``)."""
+        self._epoch = int(epoch)
+
     def _build(self, epoch: int) -> grain.DataLoader:
         source = grain.InMemoryDataSource(list(range(len(self.items))))
         sampler = grain.IndexSampler(

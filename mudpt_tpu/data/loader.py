@@ -126,9 +126,16 @@ class DataLoader:
 
         def empty_batch():
             size = getattr(self.transform, "size", None)
-            if size is None:  # infer from a real item
+            if size is None and self.items:  # infer from a real item
                 img = self._decode((self.items[0], random.Random(0)))
                 size = img.shape[0]
+            if size is None:
+                # empty item shard (pod eval) AND a size-less transform:
+                # nothing to infer from, so fall back to the CLIP default.
+                # (Pod note: the shape must match the other hosts' batches;
+                # real trainer transforms always expose .size, so this path
+                # only covers array-item test loaders.)
+                size = 224
             return {
                 "image": np.zeros(
                     (self.batch_size, size, size, 3), np.float32

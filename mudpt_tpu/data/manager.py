@@ -193,13 +193,19 @@ class DataManager:
         import jax
 
         n_proc = jax.process_count()
-        if (
-            self._shard_mode == "off"
-            or n_proc == 1
-            or test_bs % n_proc
-            or not items
-            or not self._data_axis_divisible(n_proc)
-        ):
+        if self._shard_mode == "off" or n_proc == 1 or not items:
+            return None
+        if test_bs % n_proc:
+            if self._shard_mode == "on":
+                # mirror the train-side contract: "on" means REQUIRE
+                # sharding, so an indivisible batch is an error, not a
+                # silent fall-back to n_hosts-times the decode work
+                raise ValueError(
+                    f"DATALOADER.HOST_SHARD: global eval batch {test_bs} "
+                    f"must divide by process count {n_proc}"
+                )
+            return None
+        if self._shard_mode != "on" and not self._data_axis_divisible(n_proc):
             return None
         bs_h = test_bs // n_proc
         rank = jax.process_index()

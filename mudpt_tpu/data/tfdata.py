@@ -43,9 +43,13 @@ class TFDataLoader:
         self._tf = tf
         self.batch_size = batch_size
         self.items = items
+        self._shuffle = shuffle
+        self._seed = seed
+        self._epoch = 0
         paths = [it.impath for it in items]
         labels = [it.label for it in items]
         n = len(items)
+        self._n = n
 
         mean_t = tf.constant(mean, tf.float32)
         std_t = tf.constant(std, tf.float32)
@@ -86,18 +90,10 @@ class TFDataLoader:
             img = (img - mean_t) / std_t
             return tf.reshape(img, (size, size, 3)), label
 
-        ds = tf.data.Dataset.from_tensor_slices(
+        self._base = tf.data.Dataset.from_tensor_slices(
             (tf.constant(paths), tf.constant(labels, tf.int32))
         )
-        if shuffle:
-            ds = ds.shuffle(min(n, 50_000), seed=seed, reshuffle_each_iteration=True)
-        ds = ds.map(
-            decode_train if is_train else decode_eval,
-            num_parallel_calls=tf.data.AUTOTUNE,
-        )
-        ds = ds.batch(batch_size, drop_remainder=drop_last)
-        ds = ds.prefetch(tf.data.AUTOTUNE)
-        self._ds = ds
+        self._decode_fn = decode_train if is_train else decode_eval
         self._drop_last = drop_last
 
     def __len__(self) -> int:
@@ -106,8 +102,33 @@ class TFDataLoader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
+    def set_epoch(self, epoch: int):
+        """Fast-forward the epoch counter so a resumed run replays the exact
+        shuffle order an uninterrupted run would see (same contract as
+        DataLoader.set_epoch; the next __iter__ shuffles with ``epoch``)."""
+        self._epoch = int(epoch)
+
+    def _build(self, epoch: int):
+        # a fresh iterator would otherwise replay the SAME seed-derived
+        # shuffle every epoch (reshuffle_each_iteration only reshuffles
+        # within one repeated iterator) — salt the seed per epoch instead,
+        # which also makes the order a pure function of (seed, epoch) for
+        # exact resume
+        tf = self._tf
+        ds = self._base
+        if self._shuffle:
+            ds = ds.shuffle(
+                min(self._n, 50_000), seed=self._seed + epoch,
+                reshuffle_each_iteration=False,
+            )
+        ds = ds.map(self._decode_fn, num_parallel_calls=tf.data.AUTOTUNE)
+        ds = ds.batch(self.batch_size, drop_remainder=self._drop_last)
+        return ds.prefetch(tf.data.AUTOTUNE)
+
     def __iter__(self):
-        for images, labels in self._ds.as_numpy_iterator():
+        ds = self._build(self._epoch)
+        self._epoch += 1
+        for images, labels in ds.as_numpy_iterator():
             n = len(labels)
             pad = self.batch_size - n
             if pad:

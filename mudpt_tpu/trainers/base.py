@@ -433,6 +433,8 @@ class TrainerBase:
         # matrices are summed across processes afterwards, so every host
         # prints identical metrics while eval work scales 1/n_hosts
         eval_sharded = getattr(self.dm, "eval_host_sharded", False)
+        if loader is None:  # empty split (e.g. val-only dataset): report
+            loader = ()     # zero-sample results instead of crashing
         for batch in loader:
             sb = shard_batch(
                 self.mesh, self._cast_images(batch), host_local=eval_sharded

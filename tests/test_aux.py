@@ -185,3 +185,62 @@ def test_checkpoint_sequence_subtrees_roundtrip(tmp_path):
     np.testing.assert_array_equal(np.asarray(out["pair"][1]), tree["pair"][1])
     np.testing.assert_array_equal(np.asarray(out["stack"][0]), tree["stack"][0])
     np.testing.assert_array_equal(np.asarray(out["w"]), tree["w"])
+
+
+def _epoch_orders(loader, n_epochs):
+    """Concatenated label order per epoch (valid rows only)."""
+    orders = []
+    for _ in range(n_epochs):
+        labels = []
+        for b in loader:
+            labels.extend(np.asarray(b["label"])[np.asarray(b["valid"])].tolist())
+        orders.append(labels)
+    return orders
+
+
+def test_grain_set_epoch_replays_order(tmp_path):
+    """Exact resume for PIPELINE=grain: set_epoch(k) makes the next
+    iteration replay epoch k's shuffle order exactly (a resumed run must
+    not restart the grain epoch counter at 0)."""
+    pytest.importorskip("grain")
+    from mudpt_tpu.data.datum import Datum
+    from mudpt_tpu.data.grain_pipeline import GrainLoader
+
+    items = [
+        Datum(label=i, classname=f"c{i}", array=np.zeros((8, 8, 3), np.float32))
+        for i in range(16)
+    ]
+    full = GrainLoader(items, None, 4, shuffle=True, seed=3)
+    e0, e1, e2 = _epoch_orders(full, 3)
+    assert e1 != e2  # shuffle order actually changes per epoch
+
+    resumed = GrainLoader(items, None, 4, shuffle=True, seed=3)
+    resumed.set_epoch(1)
+    r1, r2 = _epoch_orders(resumed, 2)
+    assert r1 == e1 and r2 == e2
+
+
+def test_tfdata_set_epoch_replays_order(tmp_path):
+    """Exact resume for PIPELINE=tfdata: the shuffle order is a pure
+    function of (seed, epoch) — fresh iterators must NOT replay the same
+    seed-derived order every epoch, and set_epoch(k) fast-forwards."""
+    pytest.importorskip("tensorflow")
+    from mudpt_tpu.data.datum import Datum
+    from mudpt_tpu.data.tfdata import TFDataLoader
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    items = []
+    for i in range(12):
+        p = img_dir / f"{i}.jpg"
+        Image.new("RGB", (20, 20), color=(i * 15, 5, 5)).save(p)
+        items.append(Datum(impath=str(p), label=i, classname=f"c{i}"))
+
+    full = TFDataLoader(items, 4, size=8, shuffle=True, seed=7)
+    e0, e1, e2 = _epoch_orders(full, 3)
+    assert e0 != e1 or e1 != e2  # per-epoch reshuffle, not a frozen order
+
+    resumed = TFDataLoader(items, 4, size=8, shuffle=True, seed=7)
+    resumed.set_epoch(1)
+    r1, r2 = _epoch_orders(resumed, 2)
+    assert r1 == e1 and r2 == e2

@@ -166,3 +166,50 @@ def test_host_shard_auto_mode(monkeypatch):
     cfg.DATALOADER.HOST_SHARD = True
     with pytest.raises(ValueError):
         DataManager(cfg, dataset=dataset, n_data=8)
+
+
+def test_host_shard_on_eval_indivisible_raises(monkeypatch):
+    """HOST_SHARD='on' means REQUIRE sharding: an eval batch size that does
+    not divide by the process count must raise (mirroring the train-side
+    contract), not silently fall back to n_hosts-times the decode work."""
+    import jax
+
+    cfg = default_config()
+    cfg.DATASET.NAME = "Synthetic"
+    cfg.INPUT.SIZE = (16, 16)
+    cfg.DATALOADER.TRAIN_X.BATCH_SIZE = 4
+    cfg.DATALOADER.TEST.BATCH_SIZE = 7  # indivisible by 2 processes
+    cfg.DATALOADER.HOST_SHARD = True
+    dataset = DataManager(cfg, n_data=8).dataset
+
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    with pytest.raises(ValueError, match="eval batch"):
+        DataManager(cfg, dataset=dataset, n_data=8)
+
+
+def test_coerce_bool_only_for_tristate_strings():
+    """YAML booleans are accepted ONLY by tri-state string fields
+    (DATALOADER.HOST_SHARD); a bool landing in any other string field is a
+    typo and must fail at merge time, not propagate as the string 'True'."""
+    from mudpt_tpu.config.config import _merge_dict
+
+    cfg = default_config()
+    _merge_dict(cfg, {"DATALOADER": {"HOST_SHARD": True}})
+    assert cfg.DATALOADER.HOST_SHARD == "True"
+
+    with pytest.raises(TypeError, match="PIPELINE"):
+        _merge_dict(default_config(), {"DATALOADER": {"PIPELINE": True}})
+    with pytest.raises(TypeError, match="NAME"):
+        _merge_dict(default_config(), {"DATASET": {"NAME": False}})
+
+
+def test_empty_item_shard_pads_batches():
+    """A pod host whose eval item shard is empty still produces its
+    pad_to_batches all-invalid batches (lockstep collectives), even when the
+    transform exposes no .size to infer the image shape from."""
+    loader = DataLoader([], None, batch_size=3, pad_to_batches=2)
+    batches = list(loader)
+    assert len(batches) == 2
+    for b in batches:
+        assert b["image"].shape == (3, 224, 224, 3)
+        assert not b["valid"].any()

@@ -181,3 +181,14 @@ def test_init_weights_warm_start(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(saved),
                     jax.tree_util.tree_leaves(warm)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_empty_test_split_reports_zero_samples(tmp_path):
+    """A dataset with an empty eval split (manager returns a None loader)
+    must produce a zero-sample result at the end of training, not crash
+    iterating None (regression: round-3 review)."""
+    cfg = tiny_cfg("ZeroshotCLIP", tmp_path)
+    trainer = build_trainer(cfg)
+    trainer.dm.test_loader = None  # what DataManager builds for an empty split
+    results = trainer.test()
+    assert results["total"] == 0 and results["accuracy"] == 0.0
