@@ -46,6 +46,13 @@ class TFDataLoader:
         self._shuffle = shuffle
         self._seed = seed
         self._epoch = 0
+        missing = sum(1 for it in items if not it.impath)
+        if missing:
+            raise ValueError(
+                f"DATALOADER.PIPELINE=tfdata reads images from disk, but "
+                f"{missing}/{len(items)} items have no file path (array-backed "
+                f"dataset, e.g. Synthetic) — use the threads or grain pipeline"
+            )
         paths = [it.impath for it in items]
         labels = [it.label for it in items]
         n = len(items)

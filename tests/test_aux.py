@@ -244,3 +244,16 @@ def test_tfdata_set_epoch_replays_order(tmp_path):
     resumed.set_epoch(1)
     r1, r2 = _epoch_orders(resumed, 2)
     assert r1 == e1 and r2 == e2
+
+
+def test_tfdata_rejects_array_items():
+    """tfdata reads from disk; array-backed items (Synthetic) must fail at
+    construction with a message naming the alternative pipelines, not with
+    a tf ReadFile NotFoundError mid-epoch."""
+    pytest.importorskip("tensorflow")
+    from mudpt_tpu.data.datum import Datum
+    from mudpt_tpu.data.tfdata import TFDataLoader
+
+    items = [Datum(label=0, classname="c", array=np.zeros((8, 8, 3), np.float32))]
+    with pytest.raises(ValueError, match="threads or grain"):
+        TFDataLoader(items, 1, size=8)
