@@ -152,8 +152,20 @@ class TrainerBase:
     # ------------------------------------------------------------------
     # model plumbing helpers for subclasses
     # ------------------------------------------------------------------
+    # trainers that splice prompts into the visual tower set this: prompt
+    # injection is defined for the ViT towers only (as in the reference,
+    # whose prompt block variants subclass the transformer towers)
+    requires_vit = False
+
     def load_clip(self):
         clip_cfg, params = load_backbone(self.cfg)
+        if self.requires_vit and clip_cfg.vision_arch != "vit":
+            raise ValueError(
+                f"{type(self).__name__} injects visual prompts and needs a "
+                f"ViT backbone; got vision_arch={clip_cfg.vision_arch!r} "
+                f"(RN-family backbones work with the text-prompt trainers: "
+                f"ZeroshotCLIP, CoOp, CoCoOp)"
+            )
         if self.compute_dtype == jnp.bfloat16:
             params = cast_matmul_weights(params, jnp.bfloat16)
         return clip_cfg, params

@@ -79,6 +79,7 @@ def mudpt_forward(trainable, frozen, aux, images, *, clip_cfg, compute_dtype):
 class MuDPT(TrainerBase):
     model_name = "MultimodalDeepPromptTuning"  # reference mudpt.py:227
     hparams_key = "MUDPT"
+    requires_vit = True
     forward_fn = staticmethod(mudpt_forward)
 
     def build_model(self):

@@ -63,6 +63,7 @@ def umudpt_forward(trainable, frozen, aux, images, *, clip_cfg, compute_dtype):
 class UMuDPT(TrainerBase):
     model_name = "UnifiedMultimodalDeepPromptTuning"  # reference umudpt.py:270
     hparams_key = "UMUDPT"
+    requires_vit = True
     forward_fn = staticmethod(umudpt_forward)
 
     def build_model(self):

@@ -59,6 +59,7 @@ def vpt_forward(trainable, frozen, aux, images, *, clip_cfg, compute_dtype):
 class VPT(TrainerBase):
     model_name = "VisualPromptLearner"  # reference vpt.py:159
     hparams_key = "VPT"
+    requires_vit = True
 
     def build_model(self):
         cfg = self.cfg

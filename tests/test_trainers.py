@@ -192,3 +192,68 @@ def test_empty_test_split_reports_zero_samples(tmp_path):
     trainer.dm.test_loader = None  # what DataManager builds for an empty split
     results = trainer.test()
     assert results["total"] == 0 and results["accuracy"] == 0.0
+
+
+def _tiny_rn_checkpoint(tmp_path):
+    """Tiny ModifiedResNet CLIP checkpoint (real 49,408 vocab so the BPE
+    tokenizer's ids are in range), saved as a raw torch state dict the way
+    OpenAI RN .pt files load (reference clip/clip.py state-dict branch)."""
+    import torch
+
+    from tests.reference_oracle import import_reference_clip
+
+    mod = import_reference_clip()
+    torch.manual_seed(11)
+    ref = mod.CLIP(
+        embed_dim=48,
+        image_resolution=64,
+        vision_layers=(1, 1, 1, 1),  # tuple => ModifiedResNet
+        vision_width=32,
+        vision_patch_size=None,
+        context_length=77,
+        vocab_size=49408,
+        transformer_width=64,
+        transformer_heads=1,
+        transformer_layers=2,
+        cfg=None,
+    ).float().eval()
+    path = str(tmp_path / "rn_tiny.pt")
+    torch.save(ref.state_dict(), path)
+    return path
+
+
+def test_rn_backbone_trainers_end_to_end(tmp_path):
+    """RN-family backbones drive the TEXT-prompt trainers end to end
+    (reference CoOp ships rn50 configs): zero-shot eval works, CoOp trains
+    and reduces its loss through the resnet visual tower, and the
+    prompt-in-vision methods reject a resnet backbone with a clear error
+    instead of garbage shapes."""
+    import json
+
+    ckpt = _tiny_rn_checkpoint(tmp_path)
+
+    cfg = tiny_cfg("ZeroshotCLIP", tmp_path)
+    cfg.MODEL.BACKBONE.PATH = ckpt
+    cfg.INPUT.SIZE = (64, 64)
+    results = build_trainer(cfg).test()
+    assert 0.0 <= results["accuracy"] <= 100.0
+
+    cfg = tiny_cfg("CoOp", tmp_path)
+    cfg.MODEL.BACKBONE.PATH = ckpt
+    cfg.INPUT.SIZE = (64, 64)
+    cfg.OPTIM.MAX_EPOCH = 4
+    tr = build_trainer(cfg)
+    tr.train()
+    records = [
+        json.loads(line)
+        for line in open(f"{cfg.OUTPUT_DIR}/metrics.jsonl")
+        if '"train"' in line
+    ]
+    assert min(r["loss"] for r in records) < records[0]["loss"]
+
+    for vt in ("MuDPT", "VPT"):
+        cfg = tiny_cfg(vt, tmp_path)
+        cfg.MODEL.BACKBONE.PATH = ckpt
+        cfg.INPUT.SIZE = (64, 64)
+        with pytest.raises(ValueError, match="ViT backbone"):
+            build_trainer(cfg)
