@@ -60,3 +60,34 @@ def test_single_vs_mesh_equivalence(tmp_path):
     )
     assert abs(float(loss1) - float(loss8)) < 1e-5
     assert abs(float(acc1) - float(acc8)) < 1e-6
+
+
+def test_mesh_shape_sweep(tmp_path):
+    """Every mesh factorization of 8 devices — pure-data (8,1), mixed (2,4),
+    and pure-model (1,8) — matches the 1-device loss.  (1,8) additionally
+    exercises padded class shards: 4 synthetic classes over a model axis of
+    8 pads the class dimension past the real count, so the loss/accuracy
+    masking of padded-class rows is load-bearing there."""
+    from mudpt_tpu.trainers.mudpt import MuDPT
+
+    devices = jax.devices()
+    assert len(devices) >= 8
+
+    tr1 = MuDPT(tiny_cfg("MuDPT", tmp_path / "ref"), devices=devices[:1])
+    batch = next(iter(tr1.dm.test_loader))
+    sb1 = shard_batch(tr1.mesh, batch)
+    _, _, loss1, acc1 = tr1._train_step(
+        tr1.trainable, tr1.opt_state, tr1.frozen, tr1.aux, sb1
+    )
+
+    for n_model in (1, 4, 8):
+        cfg = tiny_cfg("MuDPT", tmp_path / f"m{n_model}")
+        cfg.PARALLEL.MODEL = n_model
+        tr = MuDPT(cfg, devices=devices[:8])
+        assert dict(tr.mesh.mesh.shape) == {"data": 8 // n_model, "model": n_model}
+        sb = shard_batch(tr.mesh, batch)
+        _, _, loss, acc = tr._train_step(
+            tr.trainable, tr.opt_state, tr.frozen, tr.aux, sb
+        )
+        assert abs(float(loss1) - float(loss)) < 1e-5, f"model={n_model}"
+        assert abs(float(acc1) - float(acc)) < 1e-6, f"model={n_model}"
