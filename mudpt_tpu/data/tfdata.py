@@ -8,6 +8,12 @@ center/random-resized crop, flip, CLIP normalization, prefetch.  TensorFlow
 is imported lazily — nothing here loads unless requested via
 ``DATALOADER.PIPELINE: tfdata``.
 
+Determinism matches the threads/Grain loaders: the shuffle order is a pure
+function of (seed, epoch), and train-time augmentation uses STATELESS tf
+image ops keyed by (seed, epoch, position) — so two runs of the same config
+are bit-identical regardless of AUTOTUNE parallelism, and a resumed run
+(``set_epoch``) replays exactly the batches an uninterrupted run would see.
+
 Output batches use the same dict contract as DataLoader
 ({image f32 NHWC, label i32, valid bool}) so trainers are agnostic.
 """
@@ -43,6 +49,8 @@ class TFDataLoader:
         self._tf = tf
         self.batch_size = batch_size
         self.items = items
+        self._size = size
+        self._is_train = is_train
         self._shuffle = shuffle
         self._seed = seed
         self._epoch = 0
@@ -55,52 +63,12 @@ class TFDataLoader:
             )
         paths = [it.impath for it in items]
         labels = [it.label for it in items]
-        n = len(items)
-        self._n = n
-
-        mean_t = tf.constant(mean, tf.float32)
-        std_t = tf.constant(std, tf.float32)
-
-        def decode_eval(path, label):
-            raw = tf.io.read_file(path)
-            img = tf.io.decode_image(raw, channels=3, expand_animations=False)
-            shape = tf.shape(img)
-            short = tf.minimum(shape[0], shape[1])
-            scale = tf.cast(size, tf.float32) / tf.cast(short, tf.float32)
-            nh = tf.cast(tf.round(tf.cast(shape[0], tf.float32) * scale), tf.int32)
-            nw = tf.cast(tf.round(tf.cast(shape[1], tf.float32) * scale), tf.int32)
-            img = tf.image.resize(img, (nh, nw), method="bicubic")
-            top = (nh - size) // 2
-            left = (nw - size) // 2
-            img = img[top : top + size, left : left + size]
-            img = img / 255.0
-            img = (img - mean_t) / std_t
-            return tf.reshape(img, (size, size, 3)), label
-
-        def decode_train(path, label):
-            raw = tf.io.read_file(path)
-            img = tf.io.decode_image(raw, channels=3, expand_animations=False)
-            shape = tf.shape(img)
-            # random resized crop, scale 0.08-1.0, ratio 3/4-4/3
-            bbox = tf.image.sample_distorted_bounding_box(
-                shape,
-                bounding_boxes=tf.zeros((1, 0, 4)),
-                area_range=(0.08, 1.0),
-                aspect_ratio_range=(0.75, 1.3333),
-                use_image_if_no_bounding_boxes=True,
-            )
-            begin, sz, _ = bbox
-            img = tf.slice(img, begin, sz)
-            img = tf.image.resize(img, (size, size), method="bicubic")
-            img = tf.image.random_flip_left_right(img)
-            img = img / 255.0
-            img = (img - mean_t) / std_t
-            return tf.reshape(img, (size, size, 3)), label
-
+        self._n = len(items)
+        self._mean_t = tf.constant(mean, tf.float32)
+        self._std_t = tf.constant(std, tf.float32)
         self._base = tf.data.Dataset.from_tensor_slices(
             (tf.constant(paths), tf.constant(labels, tf.int32))
         )
-        self._decode_fn = decode_train if is_train else decode_eval
         self._drop_last = drop_last
 
     def __len__(self) -> int:
@@ -111,9 +79,62 @@ class TFDataLoader:
 
     def set_epoch(self, epoch: int):
         """Fast-forward the epoch counter so a resumed run replays the exact
-        shuffle order an uninterrupted run would see (same contract as
-        DataLoader.set_epoch; the next __iter__ shuffles with ``epoch``)."""
+        shuffle order AND augmentation draws an uninterrupted run would see
+        (same contract as DataLoader.set_epoch; the next __iter__ builds
+        ``epoch``)."""
         self._epoch = int(epoch)
+
+    def _normalize(self, img):
+        img = img / 255.0
+        return (img - self._mean_t) / self._std_t
+
+    def _decode_eval(self, idx, path, label):
+        tf, size = self._tf, self._size
+        del idx
+        raw = tf.io.read_file(path)
+        img = tf.io.decode_image(raw, channels=3, expand_animations=False)
+        shape = tf.shape(img)
+        short = tf.minimum(shape[0], shape[1])
+        scale = tf.cast(size, tf.float32) / tf.cast(short, tf.float32)
+        nh = tf.cast(tf.round(tf.cast(shape[0], tf.float32) * scale), tf.int32)
+        nw = tf.cast(tf.round(tf.cast(shape[1], tf.float32) * scale), tf.int32)
+        img = tf.image.resize(img, (nh, nw), method="bicubic")
+        top = (nh - size) // 2
+        left = (nw - size) // 2
+        img = img[top : top + size, left : left + size]
+        return tf.reshape(self._normalize(img), (size, size, 3)), label
+
+    def _make_decode_train(self, epoch: int):
+        """Augmentations draw from STATELESS ops keyed by (seed+epoch,
+        position): stateful tf random kernels would make results depend on
+        the parallel-map execution order (and replay identically every
+        epoch), breaking both run-to-run determinism and exact resume."""
+        tf, size = self._tf, self._size
+        base = tf.constant(self._seed + epoch, tf.int32)
+
+        def decode_train(idx, path, label):
+            pos = tf.cast(idx % (2**31 - 1), tf.int32)
+            crop_seed = tf.stack([base, pos])
+            flip_seed = tf.stack([base + 1, pos])
+            raw = tf.io.read_file(path)
+            img = tf.io.decode_image(raw, channels=3, expand_animations=False)
+            shape = tf.shape(img)
+            # random resized crop, scale 0.08-1.0, ratio 3/4-4/3
+            bbox = tf.image.stateless_sample_distorted_bounding_box(
+                shape,
+                bounding_boxes=tf.zeros((1, 0, 4)),
+                seed=crop_seed,
+                area_range=(0.08, 1.0),
+                aspect_ratio_range=(0.75, 1.3333),
+                use_image_if_no_bounding_boxes=True,
+            )
+            begin, sz, _ = bbox
+            img = tf.slice(img, begin, sz)
+            img = tf.image.resize(img, (size, size), method="bicubic")
+            img = tf.image.stateless_random_flip_left_right(img, seed=flip_seed)
+            return tf.reshape(self._normalize(img), (size, size, 3)), label
+
+        return decode_train
 
     def _build(self, epoch: int):
         # a fresh iterator would otherwise replay the SAME seed-derived
@@ -128,7 +149,14 @@ class TFDataLoader:
                 min(self._n, 50_000), seed=self._seed + epoch,
                 reshuffle_each_iteration=False,
             )
-        ds = ds.map(self._decode_fn, num_parallel_calls=tf.data.AUTOTUNE)
+        # enumerate AFTER shuffle: augmentation RNG is keyed by the item's
+        # position in the epoch, the same convention as the threads loader
+        ds = ds.enumerate()
+        fn = self._make_decode_train(epoch) if self._is_train else self._decode_eval
+        ds = ds.map(
+            lambda i, pl: fn(i, pl[0], pl[1]),
+            num_parallel_calls=tf.data.AUTOTUNE,
+        )
         ds = ds.batch(self.batch_size, drop_remainder=self._drop_last)
         return ds.prefetch(tf.data.AUTOTUNE)
 

@@ -221,9 +221,11 @@ def test_grain_set_epoch_replays_order(tmp_path):
 
 
 def test_tfdata_set_epoch_replays_order(tmp_path):
-    """Exact resume for PIPELINE=tfdata: the shuffle order is a pure
-    function of (seed, epoch) — fresh iterators must NOT replay the same
-    seed-derived order every epoch, and set_epoch(k) fast-forwards."""
+    """Exact resume for PIPELINE=tfdata: shuffle order AND augmentation
+    draws are pure functions of (seed, epoch, position) — fresh iterators
+    must NOT replay the same seed-derived order every epoch, two loaders of
+    the same config must be bit-identical (stateless augmentation ops, so
+    AUTOTUNE parallelism cannot leak in), and set_epoch(k) fast-forwards."""
     pytest.importorskip("tensorflow")
     from mudpt_tpu.data.datum import Datum
     from mudpt_tpu.data.tfdata import TFDataLoader
@@ -236,14 +238,31 @@ def test_tfdata_set_epoch_replays_order(tmp_path):
         Image.new("RGB", (20, 20), color=(i * 15, 5, 5)).save(p)
         items.append(Datum(impath=str(p), label=i, classname=f"c{i}"))
 
-    full = TFDataLoader(items, 4, size=8, shuffle=True, seed=7)
-    e0, e1, e2 = _epoch_orders(full, 3)
-    assert e0 != e1 or e1 != e2  # per-epoch reshuffle, not a frozen order
+    mk = lambda: TFDataLoader(
+        items, 4, size=8, is_train=True, shuffle=True, seed=7
+    )
 
-    resumed = TFDataLoader(items, 4, size=8, shuffle=True, seed=7)
+    def epochs(loader, n):
+        return [[(b["label"].copy(), b["image"].copy()) for b in loader]
+                for _ in range(n)]
+
+    e0, e1, e2 = epochs(mk(), 3)
+    orders = [[tuple(lb) for lb, _ in ep] for ep in (e0, e1, e2)]
+    assert orders[0] != orders[1] or orders[1] != orders[2]
+
+    # run-to-run determinism, images included (stateless augmentation)
+    f0, f1, f2 = epochs(mk(), 3)
+    for a, b in zip(e0 + e1 + e2, f0 + f1 + f2):
+        np.testing.assert_array_equal(a[0], b[0])
+        np.testing.assert_array_equal(a[1], b[1])
+
+    # resume: set_epoch(1) replays epochs 1..2 exactly
+    resumed = mk()
     resumed.set_epoch(1)
-    r1, r2 = _epoch_orders(resumed, 2)
-    assert r1 == e1 and r2 == e2
+    r1, r2 = epochs(resumed, 2)
+    for a, b in zip(e1 + e2, r1 + r2):
+        np.testing.assert_array_equal(a[0], b[0])
+        np.testing.assert_array_equal(a[1], b[1])
 
 
 def test_tfdata_rejects_array_items():
