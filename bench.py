@@ -66,6 +66,15 @@ def main() -> None:
                     "pipeline), reporting the H2D ceiling alongside.")
     ap.add_argument("--n-jpegs", type=int, default=2048)
     args = ap.parse_args()
+    if args.input != "resident" and args.batch > args.n_jpegs:
+        # fail BEFORE the multi-minute graph build: tfdata would yield ZERO
+        # batches (drop_remainder) and the bench's batch cycler would spin
+        # forever; threads/grain would quietly benchmark a mostly
+        # zero-padded batch
+        ap.error(
+            f"--input {args.input}: --batch {args.batch} exceeds the "
+            f"synthetic set (--n-jpegs {args.n_jpegs}) — raise --n-jpegs"
+        )
 
     try:
         _run(args)
@@ -126,6 +135,7 @@ def _synth_jpegs(n: int, n_cls: int, side: int = 256):
 
 
 def _build_input_loader(args, resolution: int):
+    assert args.batch <= args.n_jpegs  # validated at arg parse
     items = _synth_jpegs(args.n_jpegs, args.n_cls)
     if args.input == "tfdata":
         from mudpt_tpu.data.tfdata import TFDataLoader

@@ -60,6 +60,7 @@ class GrainLoader:
         drop_last: bool = False,
         num_workers: int = 0,
         seed: int = 0,
+        pad_to_batches: int = 0,
     ):
         self.items = items
         self.transform = transform
@@ -69,12 +70,37 @@ class GrainLoader:
         self.seed = seed
         self._drop_last = drop_last and len(items) >= batch_size
         self._epoch = 0
+        # pod eval: hosts iterate in lockstep (collectives), so a host whose
+        # item shard is short must still emit the same number of batches —
+        # trailing batches are all-invalid zeros (same as DataLoader)
+        self.pad_to_batches = pad_to_batches
 
     def __len__(self) -> int:
         n = len(self.items)
         if self._drop_last:
             return n // self.batch_size
-        return (n + self.batch_size - 1) // self.batch_size
+        return max(
+            (n + self.batch_size - 1) // self.batch_size, self.pad_to_batches
+        )
+
+    def _empty_batch(self) -> dict:
+        size = getattr(self.transform, "size", None)
+        if self.items:  # infer the decoded shape from a real item
+            shape = _DecodeTransform(
+                self.items, self.transform, self.seed, 0
+            ).map(0)["image"].shape
+        elif size is not None:
+            shape = (size, size, 3)
+        else:
+            # empty item shard AND a size-less transform: fall back to the
+            # CLIP default (must match the other hosts' batch shape; real
+            # trainer transforms always expose .size)
+            shape = (224, 224, 3)
+        return {
+            "image": np.zeros((self.batch_size, *shape), np.float32),
+            "label": np.zeros(self.batch_size, np.int32),
+            "valid": np.zeros(self.batch_size, bool),
+        }
 
     def set_epoch(self, epoch: int):
         """Fast-forward the epoch counter so a resumed run replays the exact
@@ -104,17 +130,26 @@ class GrainLoader:
         )
 
     def __iter__(self):
-        loader = self._build(self._epoch)
-        self._epoch += 1
-        for batch in loader:
-            images, labels = batch["image"], batch["label"]
-            n = len(labels)
-            pad = self.batch_size - n
-            if pad:
-                images = np.pad(images, [(0, pad)] + [(0, 0)] * (images.ndim - 1))
-                labels = np.pad(labels, (0, pad))
-            yield {
-                "image": np.asarray(images, np.float32),
-                "label": np.asarray(labels, np.int32),
-                "valid": np.arange(self.batch_size) < n,
-            }
+        emitted = 0
+        if self.items:
+            loader = self._build(self._epoch)
+            self._epoch += 1
+            for batch in loader:
+                images, labels = batch["image"], batch["label"]
+                n = len(labels)
+                pad = self.batch_size - n
+                if pad:
+                    images = np.pad(
+                        images, [(0, pad)] + [(0, 0)] * (images.ndim - 1)
+                    )
+                    labels = np.pad(labels, (0, pad))
+                yield {
+                    "image": np.asarray(images, np.float32),
+                    "label": np.asarray(labels, np.int32),
+                    "valid": np.arange(self.batch_size) < n,
+                }
+                emitted += 1
+        if emitted < self.pad_to_batches:
+            eb = self._empty_batch()  # consumers treat batches as read-only
+            for _ in range(self.pad_to_batches - emitted):
+                yield eb

@@ -149,8 +149,10 @@ class DataLoader:
                 with ThreadPoolExecutor(self.num_workers) as pool:
                     for chunk, rngs in chunks:
                         q.put(self._make_batch(chunk, rngs, pool))
-                for _ in range(n_pad_batches):
-                    q.put(empty_batch())
+                if n_pad_batches:
+                    eb = empty_batch()  # consumers treat batches as read-only
+                    for _ in range(n_pad_batches):
+                        q.put(eb)
             except BaseException as e:  # surface in consumer
                 error.append(e)
             finally:

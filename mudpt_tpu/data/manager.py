@@ -104,64 +104,56 @@ class DataManager:
                 shuffle=_train_shuffle(cfg),
                 drop_last=True, seed=cfg.SEED,
             )
-            self.val_loader = (
-                GrainLoader(dataset.val, test_tf, cfg.DATALOADER.TEST.BATCH_SIZE)
-                if dataset.val else None
+            mk_eval = lambda items, bs, pad: GrainLoader(
+                items, test_tf, bs, pad_to_batches=pad
             )
-            self.test_loader = GrainLoader(
-                dataset.test, test_tf, cfg.DATALOADER.TEST.BATCH_SIZE
-            )
-            return
-
-        if cfg.DATALOADER.PIPELINE == "tfdata":
+        elif cfg.DATALOADER.PIPELINE == "tfdata":
             from mudpt_tpu.data.tfdata import TFDataLoader
 
             size = cfg.INPUT.SIZE[0]
-            shuf = _train_shuffle(cfg)
-            mk = lambda items, bs, train: TFDataLoader(
+            mk_tf = lambda items, bs, train, pad=0: TFDataLoader(
                 items, bs, size=size, is_train=train,
-                shuffle=train and shuf,
+                shuffle=train and _train_shuffle(cfg),
                 drop_last=train, seed=cfg.SEED,
                 mean=cfg.INPUT.PIXEL_MEAN, std=cfg.INPUT.PIXEL_STD,
+                pad_to_batches=pad,
             )
-            self.train_loader = mk(self._train_items, self._train_bs, True)
-            self.val_loader = (
-                mk(dataset.val, cfg.DATALOADER.TEST.BATCH_SIZE, False)
-                if dataset.val else None
+            self.train_loader = mk_tf(self._train_items, self._train_bs, True)
+            mk_eval = lambda items, bs, pad: mk_tf(items, bs, False, pad)
+        else:
+            train_tf = build_transform(cfg, is_train=True)
+            test_tf = build_transform(cfg, is_train=False)
+            self.train_loader = DataLoader(
+                self._train_items,
+                train_tf,
+                self._train_bs,
+                shuffle=_train_shuffle(cfg),
+                drop_last=True,
+                num_workers=cfg.DATALOADER.NUM_WORKERS,
+                seed=cfg.SEED,
             )
-            self.test_loader = mk(
-                dataset.test, cfg.DATALOADER.TEST.BATCH_SIZE, False
+            mk_eval = lambda items, bs, pad: DataLoader(
+                items, test_tf, bs,
+                num_workers=cfg.DATALOADER.NUM_WORKERS,
+                pad_to_batches=pad,
             )
-            return
 
-        train_tf = build_transform(cfg, is_train=True)
-        test_tf = build_transform(cfg, is_train=False)
-
-        self.train_loader = DataLoader(
-            self._train_items,
-            train_tf,
-            self._train_bs,
-            shuffle=_train_shuffle(cfg),
-            drop_last=True,
-            num_workers=cfg.DATALOADER.NUM_WORKERS,
-            seed=cfg.SEED,
-        )
         def eval_loader(items):
+            # pod eval sharding applies uniformly across pipelines: host h
+            # decodes only its block of every global batch (see _eval_shard)
             if items is None or not items:
                 return None
             shard = self._eval_shard(items, cfg.DATALOADER.TEST.BATCH_SIZE)
             if shard is None:
-                return DataLoader(
-                    items, test_tf, cfg.DATALOADER.TEST.BATCH_SIZE,
-                    num_workers=cfg.DATALOADER.NUM_WORKERS,
-                )
+                return mk_eval(items, cfg.DATALOADER.TEST.BATCH_SIZE, 0)
             host_items, bs_h, steps = shard
             self.eval_host_sharded = True
-            return DataLoader(
-                host_items, test_tf, bs_h,
-                num_workers=cfg.DATALOADER.NUM_WORKERS,
-                pad_to_batches=steps,
-            )
+            loader = mk_eval(host_items, bs_h, steps)
+            # evaluate() keys the host-local shard_batch + all-reduce path
+            # off the LOADER, so a custom (unsharded) loader passed to the
+            # public evaluate() is never mis-sliced
+            loader.host_sharded_eval = True
+            return loader
 
         self.val_loader = eval_loader(dataset.val)
         self.test_loader = eval_loader(dataset.test)

@@ -41,6 +41,7 @@ class TFDataLoader:
         seed: int = 0,
         mean=CLIP_MEAN,
         std=CLIP_STD,
+        pad_to_batches: int = 0,
     ):
         import tensorflow as tf
 
@@ -67,15 +68,21 @@ class TFDataLoader:
         self._mean_t = tf.constant(mean, tf.float32)
         self._std_t = tf.constant(std, tf.float32)
         self._base = tf.data.Dataset.from_tensor_slices(
-            (tf.constant(paths), tf.constant(labels, tf.int32))
+            (tf.constant(paths, tf.string), tf.constant(labels, tf.int32))
         )
         self._drop_last = drop_last
+        # pod eval: hosts iterate in lockstep (collectives), so a host whose
+        # item shard is short must still emit the same number of batches —
+        # trailing batches are all-invalid zeros (same as DataLoader)
+        self.pad_to_batches = pad_to_batches
 
     def __len__(self) -> int:
         n = len(self.items)
         if self._drop_last:
             return n // self.batch_size
-        return (n + self.batch_size - 1) // self.batch_size
+        return max(
+            (n + self.batch_size - 1) // self.batch_size, self.pad_to_batches
+        )
 
     def set_epoch(self, epoch: int):
         """Fast-forward the epoch counter so a resumed run replays the exact
@@ -113,9 +120,12 @@ class TFDataLoader:
         base = tf.constant(self._seed + epoch, tf.int32)
 
         def decode_train(idx, path, label):
-            pos = tf.cast(idx % (2**31 - 1), tf.int32)
-            crop_seed = tf.stack([base, pos])
-            flip_seed = tf.stack([base + 1, pos])
+            # disjoint per-op streams via position stride 2: keying flip as
+            # [base+1, pos] would alias epoch E's flip key with epoch E+1's
+            # crop key, correlating consecutive epochs' draws
+            pos = tf.cast(idx % (2**30), tf.int32)
+            crop_seed = tf.stack([base, 2 * pos])
+            flip_seed = tf.stack([base, 2 * pos + 1])
             raw = tf.io.read_file(path)
             img = tf.io.decode_image(raw, channels=3, expand_animations=False)
             shape = tf.shape(img)
@@ -161,16 +171,29 @@ class TFDataLoader:
         return ds.prefetch(tf.data.AUTOTUNE)
 
     def __iter__(self):
-        ds = self._build(self._epoch)
-        self._epoch += 1
-        for images, labels in ds.as_numpy_iterator():
-            n = len(labels)
-            pad = self.batch_size - n
-            if pad:
-                images = np.pad(images, [(0, pad), (0, 0), (0, 0), (0, 0)])
-                labels = np.pad(labels, (0, pad))
-            yield {
-                "image": images.astype(np.float32),
-                "label": labels.astype(np.int32),
-                "valid": np.arange(self.batch_size) < n,
+        emitted = 0
+        if self.items:
+            ds = self._build(self._epoch)
+            self._epoch += 1
+            for images, labels in ds.as_numpy_iterator():
+                n = len(labels)
+                pad = self.batch_size - n
+                if pad:
+                    images = np.pad(images, [(0, pad), (0, 0), (0, 0), (0, 0)])
+                    labels = np.pad(labels, (0, pad))
+                yield {
+                    "image": images.astype(np.float32),
+                    "label": labels.astype(np.int32),
+                    "valid": np.arange(self.batch_size) < n,
+                }
+                emitted += 1
+        if emitted < self.pad_to_batches:
+            eb = {  # consumers treat batches as read-only
+                "image": np.zeros(
+                    (self.batch_size, self._size, self._size, 3), np.float32
+                ),
+                "label": np.zeros(self.batch_size, np.int32),
+                "valid": np.zeros(self.batch_size, bool),
             }
+            for _ in range(self.pad_to_batches - emitted):
+                yield eb

@@ -443,8 +443,10 @@ class TrainerBase:
         # pod eval sharding (DATALOADER.HOST_SHARD): each host decodes and
         # scores only its block of every global batch; the confusion
         # matrices are summed across processes afterwards, so every host
-        # prints identical metrics while eval work scales 1/n_hosts
-        eval_sharded = getattr(self.dm, "eval_host_sharded", False)
+        # prints identical metrics while eval work scales 1/n_hosts.
+        # Keyed off the LOADER (DataManager tags the loaders it block-shards)
+        # so a custom full-batch loader passed in is never mis-sliced.
+        eval_sharded = getattr(loader, "host_sharded_eval", False)
         if loader is None:  # empty split (e.g. val-only dataset): report
             loader = ()     # zero-sample results instead of crashing
         for batch in loader:

@@ -213,3 +213,86 @@ def test_empty_item_shard_pads_batches():
     for b in batches:
         assert b["image"].shape == (3, 224, 224, 3)
         assert not b["valid"].any()
+
+@pytest.mark.parametrize("pipeline", ["threads", "grain", "tfdata"])
+def test_host_shard_eval_all_pipelines(tmp_path, monkeypatch, pipeline):
+    """Pod eval sharding is pipeline-uniform: under HOST_SHARD='on' with 2
+    (simulated) processes, every pipeline's test loader decodes only its
+    block of each global batch, is tagged host_sharded_eval for evaluate(),
+    pads short shards to the lockstep batch count, and the union of valid
+    rows over hosts covers every item exactly once."""
+    if pipeline == "grain":
+        pytest.importorskip("grain")
+    if pipeline == "tfdata":
+        pytest.importorskip("tensorflow")
+    import types
+
+    import jax
+
+    items = []
+    for i in range(10):
+        p = tmp_path / f"img{i}.jpg"
+        Image.new("RGB", (20, 20), color=(i * 20, 3, 3)).save(p)
+        items.append(Datum(impath=str(p), label=i, classname=f"c{i}"))
+    ds = types.SimpleNamespace(
+        train_x=items, val=None, test=items,
+        num_classes=10, classnames=[f"c{i}" for i in range(10)],
+    )
+
+    cfg = default_config()
+    cfg.DATALOADER.PIPELINE = pipeline
+    cfg.INPUT.SIZE = (16, 16)
+    cfg.DATALOADER.TRAIN_X.BATCH_SIZE = 4
+    cfg.DATALOADER.TEST.BATCH_SIZE = 4
+    cfg.DATALOADER.HOST_SHARD = True
+
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    n_blocks = -(-len(items) // 4)  # 3 global batches
+    seen = []
+    for rank in (0, 1):
+        monkeypatch.setattr(jax, "process_index", lambda r=rank: r)
+        dm = DataManager(cfg, dataset=ds, n_data=8)
+        assert dm.eval_host_sharded
+        loader = dm.test_loader
+        assert getattr(loader, "host_sharded_eval", False)
+        assert dm.val_loader is None
+        batches = list(loader)
+        assert len(batches) == len(loader) == n_blocks  # lockstep padding
+        for b in batches:
+            assert b["image"].shape[0] == 2  # bs_h = 4 // 2
+        seen.extend(
+            int(l) for b in batches
+            for l, v in zip(b["label"], b["valid"]) if v
+        )
+    assert sorted(seen) == list(range(10))  # exactly-once coverage
+
+
+@pytest.mark.parametrize("pipeline", ["grain", "tfdata"])
+def test_host_shard_on_eval_indivisible_raises_nonthreads(
+    tmp_path, monkeypatch, pipeline
+):
+    """The HOST_SHARD='on' indivisible-eval-batch error fires for grain and
+    tfdata too, not only the threads pipeline."""
+    if pipeline == "grain":
+        pytest.importorskip("grain")
+    if pipeline == "tfdata":
+        pytest.importorskip("tensorflow")
+    import types
+
+    import jax
+
+    p = tmp_path / "img.jpg"
+    Image.new("RGB", (20, 20)).save(p)
+    items = [Datum(impath=str(p), label=0, classname="c0")]
+    ds = types.SimpleNamespace(
+        train_x=items, val=None, test=items, num_classes=1, classnames=["c0"]
+    )
+    cfg = default_config()
+    cfg.DATALOADER.PIPELINE = pipeline
+    cfg.INPUT.SIZE = (16, 16)
+    cfg.DATALOADER.TRAIN_X.BATCH_SIZE = 4
+    cfg.DATALOADER.TEST.BATCH_SIZE = 7  # indivisible by 2 processes
+    cfg.DATALOADER.HOST_SHARD = True
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    with pytest.raises(ValueError, match="eval batch"):
+        DataManager(cfg, dataset=ds, n_data=8)
