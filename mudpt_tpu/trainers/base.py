@@ -170,6 +170,20 @@ class TrainerBase:
             params = cast_matmul_weights(params, jnp.bfloat16)
         return clip_cfg, params
 
+    def _set_forward(self, forward_fn, text_fn=None, image_fn=None, **kw):
+        """Bind the trainer's forward (and, when the method's text features
+        do not depend on the image — every prompt trainer except CoCoOp —
+        the text/image split that lets evaluate() encode the class prompts
+        ONCE per eval pass instead of once per batch; the reference
+        re-encodes the full text tower every eval batch, mudpt.py:170-184).
+
+        Contract: forward(tr, fz, aux, img) == image_fn(tr, fz, aux, img,
+        text_fn(tr, fz, aux)) — pinned by tests/test_trainers.py."""
+        self.forward = functools.partial(forward_fn, **kw)
+        if text_fn is not None:
+            self.forward_text = functools.partial(text_fn, **kw)
+            self.forward_image = functools.partial(image_fn, **kw)
+
     def place(self, frozen, aux_class_tree, aux_repl, trainable):
         """Device placement with the standard layout."""
         self.frozen = replicate(self.mesh, frozen)
@@ -234,6 +248,27 @@ class TrainerBase:
             ).astype(jnp.int32)
 
         self._eval_step = eval_step
+
+        # text-feature caching for eval: prompt-trainer text features are a
+        # function of (trainable, aux) only, so evaluate() encodes the
+        # n_cls x 77 tower once per pass instead of once per batch (at
+        # ImageNet scale the text tower is ~60% of per-batch eval FLOPs).
+        # model_inference (ZeroshotCLIP) already caches; CoCoOp's per-image
+        # meta-net conditioning makes its text features image-dependent.
+        fwd_text = getattr(self, "forward_text", None)
+        if fwd_text is not None and getattr(self, "model_inference", None) is None:
+            fwd_image = self.forward_image
+
+            self._text_features = jax.jit(fwd_text)
+
+            @functools.partial(jax.jit, out_shardings=self.mesh.replicated)
+            def eval_step_cached(trainable, frozen, aux, images, txt):
+                logits = fwd_image(trainable, frozen, aux, images, txt)
+                return jnp.argmax(
+                    logits[:, :n_cls].astype(jnp.float32), axis=-1
+                ).astype(jnp.int32)
+
+            self._eval_step_cached = eval_step_cached
 
     # ------------------------------------------------------------------
     # training loop
@@ -449,6 +484,14 @@ class TrainerBase:
         eval_sharded = getattr(loader, "host_sharded_eval", False)
         if loader is None:  # empty split (e.g. val-only dataset): report
             loader = ()     # zero-sample results instead of crashing
+        # encode the class-prompt text tower ONCE per eval pass (prompts are
+        # fixed during eval); trainers without the split fall back to the
+        # full per-batch forward
+        text_fn = getattr(self, "_text_features", None)
+        txt = (
+            text_fn(self.trainable, self.frozen, self.aux)
+            if text_fn is not None else None
+        )
         for batch in loader:
             sb = shard_batch(
                 self.mesh, self._cast_images(batch), host_local=eval_sharded
@@ -456,6 +499,10 @@ class TrainerBase:
             preds = np.asarray(
                 self._eval_step(
                     self.trainable, self.frozen, self.aux, sb["image"]
+                )
+                if txt is None
+                else self._eval_step_cached(
+                    self.trainable, self.frozen, self.aux, sb["image"], txt
                 )
             )
             n_local = len(batch["label"])

@@ -8,8 +8,6 @@ learner enters the optimizer (coop.py:268) — here by construction.
 
 from __future__ import annotations
 
-import functools
-
 import jax.numpy as jnp
 
 from mudpt_tpu.models.clip import cosine_logits, encode_image
@@ -26,25 +24,36 @@ from mudpt_tpu.utils.registry import TRAINER_REGISTRY
 from mudpt_tpu.utils.rng import new_rng
 
 
-def coop_forward(
-    trainable, frozen, aux, images, *, clip_cfg, compute_dtype
-):
-    img = encode_image(frozen, images, clip_cfg, compute_dtype=compute_dtype)
+def coop_text_features(trainable, frozen, aux, *, clip_cfg, compute_dtype):
     prompts = compose_prompts(
         trainable["ctx"],
         aux["token_prefix"],
         aux["token_suffix"],
         aux.get("index_map"),
     )
-    txt = text_forward(
+    return text_forward(
         frozen["text"],
         prompts.astype(compute_dtype),
         aux["eot_idx"],
         n_head=clip_cfg.transformer_heads,
     )
+
+
+def coop_image_logits(
+    trainable, frozen, aux, images, txt, *, clip_cfg, compute_dtype
+):
+    img = encode_image(frozen, images, clip_cfg, compute_dtype=compute_dtype)
     return cosine_logits(
         img.astype(jnp.float32), txt.astype(jnp.float32), frozen["logit_scale"]
     )
+
+
+def coop_forward(
+    trainable, frozen, aux, images, *, clip_cfg, compute_dtype
+):
+    kw = dict(clip_cfg=clip_cfg, compute_dtype=compute_dtype)
+    txt = coop_text_features(trainable, frozen, aux, **kw)
+    return coop_image_logits(trainable, frozen, aux, images, txt, **kw)
 
 
 @TRAINER_REGISTRY.register()
@@ -90,6 +99,7 @@ class CoOp(TrainerBase):
             aux_repl=None,
             trainable={"ctx": ctx},
         )
-        self.forward = functools.partial(
-            coop_forward, clip_cfg=clip_cfg, compute_dtype=self.compute_dtype
+        self._set_forward(
+            coop_forward, coop_text_features, coop_image_logits,
+            clip_cfg=clip_cfg, compute_dtype=self.compute_dtype,
         )

@@ -19,8 +19,6 @@ towers themselves stay frozen and generic.
 
 from __future__ import annotations
 
-import functools
-
 import jax.numpy as jnp
 
 from mudpt_tpu.models.clip import cosine_logits, encode_image
@@ -40,20 +38,34 @@ from mudpt_tpu.utils.rng import new_rng
 import jax
 
 
-def mudpt_forward(trainable, frozen, aux, images, *, clip_cfg, compute_dtype):
-    # --- cross-modal prompt synthesis (reference mudpt.py:117-130) ---------
+def mudpt_text_features(trainable, frozen, aux, *, clip_cfg, compute_dtype):
+    # v2t direction of the cross-modal synthesis (reference mudpt.py:175)
     ctx = trainable["ctx"]                                # (n_ctx, 512)
     deep = trainable["deep_prompts"]                      # (d-1, n_ctx, 512)
-    v_ctx = trainable["visual_ctx"]                       # (n_ctx, 768)
     v_deep = trainable["visual_ctx_deep_prompts"]         # (d-1, n_ctx, 768)
+    v2t = linear(trainable["visual_ctx_deep_projections"], v_deep)   # :539
+    text_deep = deep + v2t                                           # mudpt.py:175
+    prompts = compose_prompts(ctx, aux["token_prefix"], aux["token_suffix"])
+    return text_forward(
+        frozen["text"],
+        prompts.astype(compute_dtype),
+        aux["eot_idx"],
+        n_head=clip_cfg.transformer_heads,
+        deep_prompts=text_deep,
+    )
 
+
+def mudpt_image_logits(
+    trainable, frozen, aux, images, txt, *, clip_cfg, compute_dtype
+):
+    # t2v direction (reference mudpt.py:117-130, model.py:534-537)
+    ctx = trainable["ctx"]
+    deep = trainable["deep_prompts"]
+    v_ctx = trainable["visual_ctx"]                       # (n_ctx, 768)
+    v_deep = trainable["visual_ctx_deep_prompts"]
     shared_ctx = linear(trainable["embed_projection"], ctx)          # t2v 512->768
     layer0_visual = v_ctx + shared_ctx                               # model.py:534
     visual_deep = linear(trainable["deep_projections"], deep) + v_deep  # :537
-    v2t = linear(trainable["visual_ctx_deep_projections"], v_deep)   # :539
-    text_deep = deep + v2t                                           # mudpt.py:175
-
-    # --- towers ------------------------------------------------------------
     img = encode_image(
         frozen,
         images,
@@ -62,17 +74,15 @@ def mudpt_forward(trainable, frozen, aux, images, *, clip_cfg, compute_dtype):
         layer0_prompt=layer0_visual,
         deep_prompts=visual_deep,
     )
-    prompts = compose_prompts(ctx, aux["token_prefix"], aux["token_suffix"])
-    txt = text_forward(
-        frozen["text"],
-        prompts.astype(compute_dtype),
-        aux["eot_idx"],
-        n_head=clip_cfg.transformer_heads,
-        deep_prompts=text_deep,
-    )
     return cosine_logits(
         img.astype(jnp.float32), txt.astype(jnp.float32), frozen["logit_scale"]
     )
+
+
+def mudpt_forward(trainable, frozen, aux, images, *, clip_cfg, compute_dtype):
+    kw = dict(clip_cfg=clip_cfg, compute_dtype=compute_dtype)
+    txt = mudpt_text_features(trainable, frozen, aux, **kw)
+    return mudpt_image_logits(trainable, frozen, aux, images, txt, **kw)
 
 
 @TRAINER_REGISTRY.register()
@@ -81,6 +91,8 @@ class MuDPT(TrainerBase):
     hparams_key = "MUDPT"
     requires_vit = True
     forward_fn = staticmethod(mudpt_forward)
+    text_fn = staticmethod(mudpt_text_features)
+    image_fn = staticmethod(mudpt_image_logits)
 
     def build_model(self):
         cfg = self.cfg
@@ -126,6 +138,7 @@ class MuDPT(TrainerBase):
             aux_repl=None,
             trainable=trainable,
         )
-        self.forward = functools.partial(
-            self.forward_fn, clip_cfg=clip_cfg, compute_dtype=self.compute_dtype
+        self._set_forward(
+            self.forward_fn, self.text_fn, self.image_fn,
+            clip_cfg=clip_cfg, compute_dtype=self.compute_dtype,
         )

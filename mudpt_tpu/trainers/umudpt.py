@@ -9,8 +9,6 @@ rows 1..d-1 the visual deep prompts (umudpt.py:217-230).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 
@@ -29,9 +27,24 @@ from mudpt_tpu.utils.registry import TRAINER_REGISTRY
 from mudpt_tpu.utils.rng import new_rng
 
 
-def umudpt_forward(trainable, frozen, aux, images, *, clip_cfg, compute_dtype):
+def umudpt_text_features(trainable, frozen, aux, *, clip_cfg, compute_dtype):
     ctx = trainable["ctx"]                      # (n_ctx, 512)
     deep = trainable["deep_prompts"]            # (d-1, n_ctx, 512)
+    prompts = compose_prompts(ctx, aux["token_prefix"], aux["token_suffix"])
+    return text_forward(
+        frozen["text"],
+        prompts.astype(compute_dtype),
+        aux["eot_idx"],
+        n_head=clip_cfg.transformer_heads,
+        deep_prompts=deep,
+    )
+
+
+def umudpt_image_logits(
+    trainable, frozen, aux, images, txt, *, clip_cfg, compute_dtype
+):
+    ctx = trainable["ctx"]
+    deep = trainable["deep_prompts"]
 
     # t2v synthesis: rows = depth, tokens = n_ctx (umudpt.py:161-178)
     all_rows = jnp.concatenate([ctx[None], deep], axis=0)      # (d, n_ctx, 512)
@@ -46,17 +59,15 @@ def umudpt_forward(trainable, frozen, aux, images, *, clip_cfg, compute_dtype):
         layer0_prompt=visual_prompts[0],
         deep_prompts=visual_prompts[1:],
     )
-    prompts = compose_prompts(ctx, aux["token_prefix"], aux["token_suffix"])
-    txt = text_forward(
-        frozen["text"],
-        prompts.astype(compute_dtype),
-        aux["eot_idx"],
-        n_head=clip_cfg.transformer_heads,
-        deep_prompts=deep,
-    )
     return cosine_logits(
         img.astype(jnp.float32), txt.astype(jnp.float32), frozen["logit_scale"]
     )
+
+
+def umudpt_forward(trainable, frozen, aux, images, *, clip_cfg, compute_dtype):
+    kw = dict(clip_cfg=clip_cfg, compute_dtype=compute_dtype)
+    txt = umudpt_text_features(trainable, frozen, aux, **kw)
+    return umudpt_image_logits(trainable, frozen, aux, images, txt, **kw)
 
 
 @TRAINER_REGISTRY.register()
@@ -65,6 +76,8 @@ class UMuDPT(TrainerBase):
     hparams_key = "UMUDPT"
     requires_vit = True
     forward_fn = staticmethod(umudpt_forward)
+    text_fn = staticmethod(umudpt_text_features)
+    image_fn = staticmethod(umudpt_image_logits)
 
     def build_model(self):
         cfg = self.cfg
@@ -98,8 +111,9 @@ class UMuDPT(TrainerBase):
             aux_repl=None,
             trainable={**trainable, "ctx": ctx},
         )
-        self.forward = functools.partial(
-            self.forward_fn, clip_cfg=clip_cfg, compute_dtype=self.compute_dtype
+        self._set_forward(
+            self.forward_fn, self.text_fn, self.image_fn,
+            clip_cfg=clip_cfg, compute_dtype=self.compute_dtype,
         )
 
     def build_prompt_params(self, ks, dim, vdim, n_ctx, depth):

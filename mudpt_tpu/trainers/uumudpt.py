@@ -27,11 +27,33 @@ from mudpt_tpu.trainers.umudpt import UMuDPT
 from mudpt_tpu.utils.registry import TRAINER_REGISTRY
 
 
-def uumudpt_forward(trainable, frozen, aux, images, *, clip_cfg, compute_dtype):
+def uumudpt_text_features(trainable, frozen, aux, *, clip_cfg, compute_dtype):
+    ctx = trainable["ctx"]
+    deep = trainable["deep_prompts"]
+    v_deep = trainable["visual_ctx_deep_prompts"]      # (d-1, n_ctx, 768)
+
+    v2t = prompt_transform_head(
+        trainable["v2t"], v_deep, v_deep.shape[-1] // 64 or 1
+    )  # (d-1, n_ctx, 512)
+    text_deep = deep + v2t
+
+    prompts = compose_prompts(ctx, aux["token_prefix"], aux["token_suffix"])
+    return text_forward(
+        frozen["text"],
+        prompts.astype(compute_dtype),
+        aux["eot_idx"],
+        n_head=clip_cfg.transformer_heads,
+        deep_prompts=text_deep,
+    )
+
+
+def uumudpt_image_logits(
+    trainable, frozen, aux, images, txt, *, clip_cfg, compute_dtype
+):
     ctx = trainable["ctx"]
     deep = trainable["deep_prompts"]
     v_ctx = trainable["visual_ctx"]                    # (n_ctx, 768)
-    v_deep = trainable["visual_ctx_deep_prompts"]      # (d-1, n_ctx, 768)
+    v_deep = trainable["visual_ctx_deep_prompts"]
 
     all_rows = jnp.concatenate([ctx[None], deep], axis=0)
     t2v = prompt_transform_head(
@@ -39,11 +61,6 @@ def uumudpt_forward(trainable, frozen, aux, images, *, clip_cfg, compute_dtype):
     )  # (d, n_ctx, 768)
     layer0_visual = t2v[0] + v_ctx
     visual_deep = t2v[1:] + v_deep
-
-    v2t = prompt_transform_head(
-        trainable["v2t"], v_deep, v_deep.shape[-1] // 64 or 1
-    )  # (d-1, n_ctx, 512)
-    text_deep = deep + v2t
 
     img = encode_image(
         frozen,
@@ -53,17 +70,15 @@ def uumudpt_forward(trainable, frozen, aux, images, *, clip_cfg, compute_dtype):
         layer0_prompt=layer0_visual,
         deep_prompts=visual_deep,
     )
-    prompts = compose_prompts(ctx, aux["token_prefix"], aux["token_suffix"])
-    txt = text_forward(
-        frozen["text"],
-        prompts.astype(compute_dtype),
-        aux["eot_idx"],
-        n_head=clip_cfg.transformer_heads,
-        deep_prompts=text_deep,
-    )
     return cosine_logits(
         img.astype(jnp.float32), txt.astype(jnp.float32), frozen["logit_scale"]
     )
+
+
+def uumudpt_forward(trainable, frozen, aux, images, *, clip_cfg, compute_dtype):
+    kw = dict(clip_cfg=clip_cfg, compute_dtype=compute_dtype)
+    txt = uumudpt_text_features(trainable, frozen, aux, **kw)
+    return uumudpt_image_logits(trainable, frozen, aux, images, txt, **kw)
 
 
 @TRAINER_REGISTRY.register()
@@ -71,6 +86,8 @@ class UUMuDPT(UMuDPT):
     model_name = "UnifiedMultimodalDeepPromptTuning"  # reference uumudpt.py:276
     hparams_key = "UUMUDPT"
     forward_fn = staticmethod(uumudpt_forward)
+    text_fn = staticmethod(uumudpt_text_features)
+    image_fn = staticmethod(uumudpt_image_logits)
 
     def build_prompt_params(self, ks, dim, vdim, n_ctx, depth):
         return {

@@ -17,8 +17,6 @@ Trainable pytree (whatever the config enables):
 
 from __future__ import annotations
 
-import functools
-
 import jax.numpy as jnp
 
 from mudpt_tpu.models.clip import cosine_logits, encode_image
@@ -31,7 +29,22 @@ from mudpt_tpu.utils.rng import new_rng
 import jax
 
 
-def vpt_forward(trainable, frozen, aux, images, *, clip_cfg, compute_dtype):
+def vpt_text_features(trainable, frozen, aux, *, clip_cfg, compute_dtype):
+    # fixed full prompt embeddings (n_cls, 77, D): prefix+suffix are the
+    # entire hand prompt — no learnable layer-0 text ctx (vpt.py:43-70)
+    prompts = jnp.concatenate([aux["token_prefix"], aux["token_suffix"]], axis=1)
+    return text_forward(
+        frozen["text"],
+        prompts.astype(compute_dtype),
+        aux["eot_idx"],
+        n_head=clip_cfg.transformer_heads,
+        deep_prompts=trainable.get("text_deep_prompts"),
+    )
+
+
+def vpt_image_logits(
+    trainable, frozen, aux, images, txt, *, clip_cfg, compute_dtype
+):
     img = encode_image(
         frozen,
         images,
@@ -40,19 +53,15 @@ def vpt_forward(trainable, frozen, aux, images, *, clip_cfg, compute_dtype):
         layer0_prompt=trainable.get("visual_ctx"),
         deep_prompts=trainable.get("visual_deep_prompts"),
     )
-    # fixed full prompt embeddings (n_cls, 77, D): prefix+suffix are the
-    # entire hand prompt — no learnable layer-0 text ctx (vpt.py:43-70)
-    prompts = jnp.concatenate([aux["token_prefix"], aux["token_suffix"]], axis=1)
-    txt = text_forward(
-        frozen["text"],
-        prompts.astype(compute_dtype),
-        aux["eot_idx"],
-        n_head=clip_cfg.transformer_heads,
-        deep_prompts=trainable.get("text_deep_prompts"),
-    )
     return cosine_logits(
         img.astype(jnp.float32), txt.astype(jnp.float32), frozen["logit_scale"]
     )
+
+
+def vpt_forward(trainable, frozen, aux, images, *, clip_cfg, compute_dtype):
+    kw = dict(clip_cfg=clip_cfg, compute_dtype=compute_dtype)
+    txt = vpt_text_features(trainable, frozen, aux, **kw)
+    return vpt_image_logits(trainable, frozen, aux, images, txt, **kw)
 
 
 @TRAINER_REGISTRY.register()
@@ -100,8 +109,9 @@ class VPT(TrainerBase):
             aux_repl=None,
             trainable=trainable,
         )
-        self.forward = functools.partial(
-            vpt_forward, clip_cfg=clip_cfg, compute_dtype=self.compute_dtype
+        self._set_forward(
+            vpt_forward, vpt_text_features, vpt_image_logits,
+            clip_cfg=clip_cfg, compute_dtype=self.compute_dtype,
         )
 
 

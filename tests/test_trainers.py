@@ -257,3 +257,46 @@ def test_rn_backbone_trainers_end_to_end(tmp_path):
         cfg.INPUT.SIZE = (64, 64)
         with pytest.raises(ValueError, match="ViT backbone"):
             build_trainer(cfg)
+
+@pytest.mark.parametrize(
+    "trainer", ["CoOp", "MuDPT", "UMuDPT", "UUMuDPT", "VPT", "MPT"]
+)
+def test_eval_text_cache_matches_full_forward(tmp_path, trainer):
+    """evaluate() encodes the class-prompt text tower once per pass; the
+    cached split must satisfy the _set_forward contract
+    forward == image_fn(..., text_fn(...)) bitwise, and the cached eval step
+    must predict identically to the full per-batch forward."""
+    import jax
+
+    kw = (
+        {"VISUAL_PROMPT_DEPTH": 2, "DEEP_VISUAL_N_CTX": 2}
+        if trainer in ("VPT", "MPT") else {}
+    )
+    cfg = tiny_cfg(trainer, tmp_path, **kw)
+    tr = build_trainer(cfg)
+    assert tr.forward_text is not None  # the split exists for the whole zoo
+
+    batch = next(iter(tr.dm.test_loader))
+    images = tr._cast_images(batch)["image"]
+
+    txt = tr.forward_text(tr.trainable, tr.frozen, tr.aux)
+    composed = tr.forward_image(tr.trainable, tr.frozen, tr.aux, images, txt)
+    full = tr.forward(tr.trainable, tr.frozen, tr.aux, images)
+    np.testing.assert_array_equal(np.asarray(composed), np.asarray(full))
+
+    # jitted paths agree on predictions
+    txt_j = tr._text_features(tr.trainable, tr.frozen, tr.aux)
+    preds_cached = np.asarray(
+        tr._eval_step_cached(tr.trainable, tr.frozen, tr.aux, images, txt_j)
+    )
+    preds_full = np.asarray(
+        tr._eval_step(tr.trainable, tr.frozen, tr.aux, images)
+    )
+    np.testing.assert_array_equal(preds_cached, preds_full)
+
+    # CoCoOp's text features are image-conditioned; ZeroshotCLIP caches in
+    # model_inference — neither may grow a (wrong) cached split silently
+    cc = build_trainer(tiny_cfg("CoCoOp", tmp_path))
+    assert getattr(cc, "_text_features", None) is None
+    zs = build_trainer(tiny_cfg("ZeroshotCLIP", tmp_path))
+    assert getattr(zs, "_text_features", None) is None
