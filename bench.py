@@ -46,6 +46,13 @@ A100_BASELINE_IPS = 850.0
 
 
 def main() -> None:
+    # honor an explicit JAX_PLATFORMS=cpu for debugging/smoke runs (the
+    # sitecustomize-registered TPU plugin overrides the env var otherwise —
+    # same mechanism as train.py; the driver's default invocation is
+    # unaffected)
+    from mudpt_tpu.utils.platform import pin_platform_from_env
+
+    pin_platform_from_env()
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", choices=["ViT-B/16", "ViT-L/14"],
                     default="ViT-B/16")
@@ -65,7 +72,17 @@ def main() -> None:
                     "with host->device prefetch (the BASELINE.json north-star "
                     "pipeline), reporting the H2D ceiling alongside.")
     ap.add_argument("--n-jpegs", type=int, default=2048)
+    ap.add_argument("--mode", choices=["train", "eval"], default="train",
+                    help="train: the headline train-step bench. eval: the "
+                    "inference/serving path (argmax eval step), reporting "
+                    "cached-text-features throughput vs re-encoding the "
+                    "text tower every batch like the reference does.")
     args = ap.parse_args()
+    if args.mode == "eval":
+        if args.input != "resident":
+            ap.error("--mode eval supports --input resident only")
+        _run_eval(args)
+        return
     if args.input != "resident" and args.batch > args.n_jpegs:
         # fail BEFORE the multi-minute graph build: tfdata would yield ZERO
         # batches (drop_remainder) and the bench's batch cycler would spin
@@ -158,6 +175,72 @@ def _build_input_loader(args, resolution: int):
     return DataLoader(
         items, tf, args.batch, shuffle=True, drop_last=True,
         num_workers=int(os.environ.get("MUDPT_BENCH_WORKERS", "16")),
+    )
+
+
+def _run_eval(args) -> None:
+    """Inference/serving bench: the trainer-level eval step (on-device
+    argmax) with text features encoded ONCE (the framework's evaluate()
+    behavior) vs re-encoded per batch (the reference's CustomCLIP.forward,
+    mudpt.py:170-184)."""
+    from mudpt_tpu.models.transformer import set_remat_mode
+
+    set_remat_mode("none")
+
+    import numpy as np
+
+    from mudpt_tpu.utils.synth_step import build_synth_mudpt_step
+
+    st = build_synth_mudpt_step(
+        args.model, args.batch, args.n_cls, args.n_ctx, args.depth
+    )
+    warmup = max(1, args.warmup)
+
+    txt = st.text_features(st.trainable, st.params, st.aux)
+    np.asarray(txt)[0, 0]  # force (block_until_ready returns early here)
+
+    def time_loop(fn, *extra):
+        preds = None
+        for _ in range(warmup):
+            preds = fn(st.trainable, st.params, st.aux, st.images, *extra)
+        int(preds[0])
+        t0 = time.perf_counter()
+        for _ in range(args.steps):
+            preds = fn(st.trainable, st.params, st.aux, st.images, *extra)
+        # host fetch: per-device execution is in-order, so fetching the last
+        # step's preds bounds all queued steps
+        int(preds[0])
+        return args.batch * args.steps / (time.perf_counter() - t0)
+
+    ips_cached = time_loop(st.eval_step_cached, txt)
+    ips_full = time_loop(st.eval_step_full)
+
+    # analytic forward FLOPs (matmuls; same accounting as the train bench)
+    clip_cfg = st.clip_cfg
+
+    def tower_fwd(n_seq, n_layers, d, rows):
+        return (12 * d * d + 4 * n_seq * d) * 2 * n_seq * n_layers * rows
+
+    n_patch = (clip_cfg.image_resolution // clip_cfg.vision_patch_size) ** 2
+    img_fwd = tower_fwd(
+        n_patch + 1 + args.n_ctx, clip_cfg.vision_layers,
+        clip_cfg.vision_width, args.batch,
+    )
+    peak = float(os.environ.get("TPU_PEAK_FLOPS", 197e12))  # v5e bf16
+    print(
+        json.dumps(
+            {
+                "metric": (
+                    f"MuDPT {args.model} inference throughput (bf16, batch "
+                    f"{args.batch}, n_cls {args.n_cls}, cached text features)"
+                ),
+                "value": round(ips_cached, 2),
+                "unit": "images/sec/chip",
+                "uncached_img_per_sec": round(ips_full, 2),
+                "speedup_vs_per_batch_text": round(ips_cached / ips_full, 3),
+                "model_mfu": round(img_fwd * ips_cached / args.batch / peak, 3),
+            }
+        )
     )
 
 

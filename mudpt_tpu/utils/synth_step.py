@@ -37,7 +37,11 @@ def build_synth_mudpt_step(
         cast_matmul_weights,
         init_clip_params,
     )
-    from mudpt_tpu.trainers.mudpt import mudpt_forward
+    from mudpt_tpu.trainers.mudpt import (
+        mudpt_forward,
+        mudpt_image_logits,
+        mudpt_text_features,
+    )
     from mudpt_tpu.trainers.prompt_utils import (
         embed_classnames,
         init_linear,
@@ -85,6 +89,23 @@ def build_synth_mudpt_step(
         updates, opt_state = tx.update(grads, opt_state, tr)
         return optax.apply_updates(tr, updates), opt_state, loss
 
+    # inference surface (bench.py --mode eval): the trainer-level serving
+    # path — argmax on device, text features cacheable across batches
+    # (trainers/base.py _jit_steps builds the same composition)
+    kw = dict(clip_cfg=clip_cfg, compute_dtype=jnp.bfloat16)
+    text_features = jax.jit(functools.partial(mudpt_text_features, **kw))
+    image_logits = functools.partial(mudpt_image_logits, **kw)
+
+    @jax.jit
+    def eval_step_cached(tr, frozen, aux, images, txt):
+        logits = image_logits(tr, frozen, aux, images, txt)
+        return jnp.argmax(logits.astype(jnp.float32), -1).astype(jnp.int32)
+
+    @jax.jit
+    def eval_step_full(tr, frozen, aux, images):
+        logits = forward(tr, frozen, aux, images)
+        return jnp.argmax(logits.astype(jnp.float32), -1).astype(jnp.int32)
+
     rng = np.random.RandomState(0)
     # the reference casts images to the compute dtype before the conv
     # (mudpt.py parse_batch -> image.type(self.dtype)); feeding bf16 also
@@ -103,6 +124,9 @@ def build_synth_mudpt_step(
         tx=tx,
         opt_state=opt_state,
         train_step=train_step,
+        text_features=text_features,
+        eval_step_cached=eval_step_cached,
+        eval_step_full=eval_step_full,
         images=images,
         labels=labels,
     )
