@@ -53,8 +53,10 @@ def main() -> None:
     from mudpt_tpu.utils.platform import pin_platform_from_env
 
     pin_platform_from_env()
+    from mudpt_tpu.utils.synth_step import MODEL_NAMES
+
     ap = argparse.ArgumentParser()
-    ap.add_argument("--model", choices=["ViT-B/16", "ViT-L/14"],
+    ap.add_argument("--model", choices=list(MODEL_NAMES),
                     default="ViT-B/16")
     ap.add_argument("--batch", type=int, default=384)
     ap.add_argument("--n-cls", type=int, default=100)

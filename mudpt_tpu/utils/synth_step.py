@@ -14,7 +14,7 @@ from __future__ import annotations
 import functools
 from types import SimpleNamespace
 
-MODEL_NAMES = ("ViT-B/16", "ViT-L/14")
+MODEL_NAMES = ("ViT-B/16", "ViT-L/14", "test-tiny")
 
 
 def build_synth_mudpt_step(
@@ -51,7 +51,10 @@ def build_synth_mudpt_step(
 
     if model not in MODEL_NAMES:
         raise ValueError(f"unknown model {model!r}; known: {MODEL_NAMES}")
-    clip_cfg = VIT_B16 if model == "ViT-B/16" else VIT_L14
+    if model == "test-tiny":  # CPU smoke runs (tests/test_bench.py)
+        from mudpt_tpu.trainers.base import TINY_TEST as clip_cfg
+    else:
+        clip_cfg = VIT_B16 if model == "ViT-B/16" else VIT_L14
     params = cast_matmul_weights(init_clip_params(new_rng(0), clip_cfg), jnp.bfloat16)
 
     classnames = [f"object number {i}" for i in range(n_cls)]
