@@ -141,3 +141,134 @@ def test_nested_trainable_checkpoint_roundtrip(tmp_path):
     assert len(flat1) == len(flat2)
     for a, b in zip(flat1, flat2):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_stanford_cars_format(tmp_path):
+    """Devkit .mat annotations: cell-array class names, struct-array annos
+    (stanford_cars.py access pattern anno['class'][0,0] / anno['fname'][0]),
+    year moved to the front of the classname."""
+    from scipy.io import savemat
+
+    root = tmp_path / "stanford_cars"
+    (root / "devkit").mkdir(parents=True)
+    names = np.array([["Audi A4 Sedan 2012", "BMW M3 Coupe 2015"]], dtype=object)
+    savemat(root / "devkit" / "cars_meta.mat", {"class_names": names})
+
+    def annos_mat(image_dir, n_per_cls):
+        n = 2 * n_per_cls
+        rec = np.zeros((1, n), dtype=[("bbox_x1", "O"), ("class", "O"), ("fname", "O")])
+        k = 0
+        for cls in (1, 2):
+            for i in range(n_per_cls):
+                fname = f"{cls}_{i}.jpg"
+                _img(root / image_dir / fname)
+                rec[0, k]["bbox_x1"] = np.array([[1]])
+                rec[0, k]["class"] = np.array([[cls]])
+                rec[0, k]["fname"] = fname
+                k += 1
+        return {"annotations": rec}
+
+    savemat(root / "devkit" / "cars_train_annos.mat", annos_mat("cars_train", 5))
+    savemat(root / "cars_test_annos_withlabels.mat", annos_mat("cars_test", 2))
+
+    random.seed(0)
+    dm = DataManager(_cfg(tmp_path, "StanfordCars"))
+    assert dm.num_classes == 2
+    assert set(dm.classnames) == {"2012 Audi A4 Sedan", "2015 BMW M3 Coupe"}
+    # per-class 80/20 trainval split (round(5*0.2)=1 val each)
+    assert len(dm.dataset.train_x) == 8 and len(dm.dataset.val) == 2
+    assert len(dm.dataset.test) == 4
+    batch = next(iter(dm.test_loader))
+    assert batch["image"].shape[1:] == (16, 16, 3)
+
+
+def test_oxford_flowers_format(tmp_path):
+    """imagelabels.mat 1-based (1,N) labels + cat_to_name.json, image_%05d
+    filenames, per-class 50/20/30 split."""
+    from scipy.io import savemat
+
+    root = tmp_path / "oxford_flowers"
+    n_per, labels = 5, []
+    for cls in (1, 2):
+        labels.extend([cls] * n_per)
+    for i in range(len(labels)):
+        _img(root / "jpg" / f"image_{i + 1:05d}.jpg")
+    savemat(root / "imagelabels.mat", {"labels": np.array([labels])})
+    (root / "cat_to_name.json").write_text('{"1": "rose", "2": "tulip"}')
+
+    random.seed(0)
+    dm = DataManager(_cfg(tmp_path, "OxfordFlowers"))
+    assert dm.num_classes == 2
+    assert set(dm.classnames) == {"rose", "tulip"}
+    # 50/20/30 per class of 5: 2 train, 1 val, 2 test
+    assert len(dm.dataset.train_x) == 4
+    assert len(dm.dataset.val) == 2
+    assert len(dm.dataset.test) == 4
+
+
+def test_sun397_format(tmp_path):
+    """ClassName.txt label table, Training_01/Testing_01 split files with
+    leading '/', hierarchy words reversed in the classname."""
+    root = tmp_path / "sun397"
+    classes = ["/a/abbey", "/c/church/indoor"]
+    (root).mkdir(parents=True)
+    (root / "SUN397").mkdir()
+    (root / "SUN397" / "ClassName.txt").write_text("\n".join(classes) + "\n")
+    train_lines, test_lines = [], []
+    for cname in classes:
+        for i in range(5):
+            rel = f"{cname}/sun_{i:03d}.jpg"
+            _img(root / "SUN397" / rel[1:])
+            (train_lines if i < 4 else test_lines).append(rel)
+    (root / "Training_01.txt").write_text("\n".join(train_lines) + "\n")
+    (root / "Testing_01.txt").write_text("\n".join(test_lines) + "\n")
+
+    random.seed(0)
+    dm = DataManager(_cfg(tmp_path, "SUN397"))
+    assert dm.num_classes == 2
+    assert set(dm.classnames) == {"abbey", "indoor church"}
+    assert len(dm.dataset.train_x) + len(dm.dataset.val) == 8
+    assert len(dm.dataset.test) == 2
+
+
+def test_imagenet_variant_formats(tmp_path):
+    """The 4 test-only domain-shift variants: ImageNetV2's stringified-label
+    folders (all 1000 must exist), Sketch/A/R folder-per-wnid with README.txt
+    skipped; all reuse ImageNet's classnames.txt."""
+    classname_lines = "\n".join(
+        f"n{i:08d} synset {i}" for i in range(1000)
+    ) + "\n"
+
+    # --- ImageNetV2: folders named by label int, 1000 of them ---
+    v2 = tmp_path / "imagenetv2"
+    img_root = v2 / "imagenetv2-matched-frequency-format-val"
+    for label in range(1000):
+        (img_root / str(label)).mkdir(parents=True)
+    for label in range(3):
+        for i in range(2):
+            _img(img_root / str(label) / f"{i}.jpg")
+    (v2 / "classnames.txt").write_text(classname_lines)
+    dm = DataManager(_cfg(tmp_path, "ImageNetV2"))
+    assert len(dm.dataset.test) == 6
+    assert {d.classname for d in dm.dataset.test} == {
+        "synset 0", "synset 1", "synset 2"
+    }
+    assert dm.dataset.train_x == dm.dataset.test  # test-only variant
+
+    # --- Sketch / A / R: folder-per-wnid, README.txt ignored ---
+    for name, ddir, sub in (
+        ("ImageNetSketch", "imagenet-sketch", "images"),
+        ("ImageNetA", "imagenet-adversarial", "imagenet-a"),
+        ("ImageNetR", "imagenet-rendition", "imagenet-r"),
+    ):
+        root = tmp_path / ddir
+        for w, wnid in enumerate(["n00000007", "n00000003"]):
+            for i in range(2):
+                _img(root / sub / wnid / f"{i}.jpg")
+        (root / sub / "README.txt").write_text("ignore me\n")
+        (root / "classnames.txt").write_text(classname_lines)
+        dm = DataManager(_cfg(tmp_path, name))
+        assert len(dm.dataset.test) == 4, name
+        assert {d.classname for d in dm.dataset.test} == {
+            "synset 3", "synset 7"
+        }, name
