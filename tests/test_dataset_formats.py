@@ -272,3 +272,56 @@ def test_imagenet_variant_formats(tmp_path):
         assert {d.classname for d in dm.dataset.test} == {
             "synset 3", "synset 7"
         }, name
+
+
+def test_caltech101_format(tmp_path):
+    """caltech-101/101_ObjectCategories folder scan: BACKGROUND_Google and
+    Faces_easy IGNORED, NEW_CNAMES renames applied (caltech101.py:13-19),
+    per-class 50/20/30 random split."""
+    img_root = tmp_path / "caltech101" / "caltech-101" / "101_ObjectCategories"
+    for folder in ("Faces", "airplanes", "BACKGROUND_Google", "Faces_easy"):
+        for i in range(10):
+            _img(img_root / folder / f"image_{i:04d}.jpg")
+
+    random.seed(0)
+    dm = DataManager(_cfg(tmp_path, "Caltech101"))
+    assert dm.num_classes == 2  # ignored folders contribute nothing
+    assert set(dm.classnames) == {"face", "airplane"}  # renames applied
+    # 50/20/30 of 10 per class
+    assert len(dm.dataset.train_x) == 10
+    assert len(dm.dataset.val) == 4
+    assert len(dm.dataset.test) == 6
+
+
+def test_eurosat_format_renames_not_applied(tmp_path):
+    """EuroSAT scans 2750/ and must reproduce the reference's dead-code
+    behavior: NEW_CNAMES defined but NEVER applied (reference eurosat.py
+    update_classname is dead — SURVEY.md §2.5), so classnames stay the raw
+    folder names."""
+    img_root = tmp_path / "eurosat" / "2750"
+    for folder in ("AnnualCrop", "SeaLake"):
+        for i in range(10):
+            _img(img_root / folder / f"{folder}_{i}.jpg")
+
+    random.seed(0)
+    dm = DataManager(_cfg(tmp_path, "EuroSAT"))
+    assert set(dm.classnames) == {"AnnualCrop", "SeaLake"}  # NOT renamed
+    from mudpt_tpu.data.datasets.eurosat import NEW_CNAMES
+    assert NEW_CNAMES["AnnualCrop"] == "Annual Crop Land"  # constant exposed
+
+
+def test_dtd_and_food101_formats(tmp_path):
+    """DTD under dtd/images, Food101 under food-101/images: plain
+    folder-per-class with the shared 50/20/30 split and no renames."""
+    for name, ddir in (("DescribableTextures", "dtd"), ("Food101", "food-101")):
+        img_root = tmp_path / ddir / "images"
+        for folder in ("alpha", "beta"):
+            for i in range(5):
+                _img(img_root / folder / f"{folder}_{i}.jpg")
+        random.seed(0)
+        dm = DataManager(_cfg(tmp_path, name))
+        assert set(dm.classnames) == {"alpha", "beta"}, name
+        # 50/20/30 of 5: 2 train (round(2.5)=2), 1 val, 2 test
+        assert len(dm.dataset.train_x) == 4, name
+        assert len(dm.dataset.val) == 2, name
+        assert len(dm.dataset.test) == 4, name
