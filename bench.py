@@ -45,6 +45,38 @@ import time
 A100_BASELINE_IPS = 850.0
 
 
+def _wait_for_accelerator(tries: int = 5, probe_timeout: int = 120,
+                          delay: int = 60) -> None:
+    """Ride out a transient accelerator outage before committing to the run.
+
+    The tunneled TPU plugin occasionally fails init with UNAVAILABLE — or
+    hangs in backend setup — and JAX caches a backend-init failure for the
+    life of the process, so an in-process retry cannot recover.  Probing in
+    a SUBPROCESS gives every attempt fresh backend state and a hard timeout;
+    once a probe succeeds, this process initializes against the now-healthy
+    tunnel.  After ``tries`` failures we proceed anyway and let the real run
+    raise the underlying error.
+    """
+    import subprocess
+    import sys
+
+    for i in range(tries):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=probe_timeout, capture_output=True,
+            )
+            if r.returncode == 0:
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        print(
+            f"# accelerator probe {i + 1}/{tries} failed; retrying in "
+            f"{delay}s", file=sys.stderr,
+        )
+        time.sleep(delay)
+
+
 def main() -> None:
     # honor an explicit JAX_PLATFORMS=cpu for debugging/smoke runs (the
     # sitecustomize-registered TPU plugin overrides the env var otherwise —
@@ -80,6 +112,8 @@ def main() -> None:
                     "cached-text-features throughput vs re-encoding the "
                     "text tower every batch like the reference does.")
     args = ap.parse_args()
+    if "cpu" not in os.environ.get("JAX_PLATFORMS", ""):
+        _wait_for_accelerator()
     if args.mode == "eval":
         if args.input != "resident":
             ap.error("--mode eval supports --input resident only")
