@@ -9,6 +9,10 @@
 
     img_feats = clip.encode_image(params, image[None], clip_cfg)
     txt_feats = clip.encode_text(params, tokens, clip_cfg)
+
+    # serving: text tower encoded once, jitted per-image scoring
+    classify = clip.zero_shot_classifier(clip_cfg, params, ["cat", "dog"])
+    logits = classify(images)                                # (B, n_cls)
 """
 
 from __future__ import annotations
@@ -27,6 +31,54 @@ from mudpt_tpu.models.clip import (  # noqa: F401  (re-exports)
 from mudpt_tpu.models.convert import load_clip_checkpoint, load_npz_params
 from mudpt_tpu.models.download import available_models, download_model  # noqa: F401
 from mudpt_tpu.tokenizer import tokenize  # noqa: F401
+
+
+def zero_shot_classifier(
+    clip_cfg,
+    params,
+    classnames,
+    templates=("a photo of a {}.",),
+    compute_dtype=None,
+):
+    """Build a zero-shot classifier for serving.
+
+    Encodes the class-prompt text tower ONCE — mean of normalized text
+    features over ``templates``, re-normalized (the reference's ensembling
+    recipe, zsclip.py:105-115) — and returns a jitted ``classify(images) ->
+    logits`` over a normalized ``(B, H, W, 3)`` image batch.  The per-image
+    cost is the vision tower plus one small matmul; the text tower is never
+    re-run (the reference's ZeroshotCLIP caches the same way; its trainers
+    re-encode per batch).
+
+    ``compute_dtype`` defaults to bfloat16 on TPU and float32 elsewhere.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from mudpt_tpu.trainers.zsclip import _encode_templates
+
+    if compute_dtype is None:
+        compute_dtype = (
+            jnp.bfloat16
+            if jax.devices()[0].platform == "tpu"
+            else jnp.float32
+        )
+    text_features = jnp.asarray(
+        _encode_templates(
+            params, clip_cfg, list(classnames), list(templates), compute_dtype
+        )
+    )
+
+    # params/txt ride as (default) call operands, not closed-over constants:
+    # closure would inline the 86M-param backbone into the compile payload
+    @jax.jit
+    def classify(images, params=params, txt=text_features):
+        img = encode_image(params, images, clip_cfg, compute_dtype=compute_dtype)
+        img = img.astype(jnp.float32)
+        img = img / jnp.linalg.norm(img, axis=-1, keepdims=True)
+        return jnp.exp(params["logit_scale"]) * jnp.dot(img, txt.T)
+
+    return classify
 
 
 def load(name_or_path: str, download_root: str = "~/.cache/clip") -> Tuple:
