@@ -70,6 +70,12 @@ def _wait_for_accelerator(tries: int = 5, probe_timeout: int = 120,
                 return
         except subprocess.TimeoutExpired:
             pass
+        if i == tries - 1:
+            print(
+                f"# all {tries} accelerator probes failed; proceeding — the "
+                "run will surface the underlying error", file=sys.stderr,
+            )
+            return
         print(
             f"# accelerator probe {i + 1}/{tries} failed; retrying in "
             f"{delay}s", file=sys.stderr,
@@ -112,13 +118,10 @@ def main() -> None:
                     "cached-text-features throughput vs re-encoding the "
                     "text tower every batch like the reference does.")
     args = ap.parse_args()
-    if "cpu" not in os.environ.get("JAX_PLATFORMS", ""):
-        _wait_for_accelerator()
-    if args.mode == "eval":
-        if args.input != "resident":
-            ap.error("--mode eval supports --input resident only")
-        _run_eval(args)
-        return
+    # ALL argument validation before the (potentially minutes-long)
+    # accelerator probe: a bad flag combination must fail immediately
+    if args.mode == "eval" and args.input != "resident":
+        ap.error("--mode eval supports --input resident only")
     if args.input != "resident" and args.batch > args.n_jpegs:
         # fail BEFORE the multi-minute graph build: tfdata would yield ZERO
         # batches (drop_remainder) and the bench's batch cycler would spin
@@ -128,6 +131,11 @@ def main() -> None:
             f"--input {args.input}: --batch {args.batch} exceeds the "
             f"synthetic set (--n-jpegs {args.n_jpegs}) — raise --n-jpegs"
         )
+    if "cpu" not in os.environ.get("JAX_PLATFORMS", ""):
+        _wait_for_accelerator()
+    if args.mode == "eval":
+        _run_eval(args)
+        return
 
     try:
         _run(args)

@@ -52,10 +52,12 @@ def zero_shot_classifier(
 
     ``compute_dtype`` defaults to bfloat16 on TPU and float32 elsewhere.
     """
+    import functools
+
     import jax
     import jax.numpy as jnp
 
-    from mudpt_tpu.trainers.zsclip import _encode_templates
+    from mudpt_tpu.trainers.zsclip import _encode_templates, _zs_inference
 
     if compute_dtype is None:
         compute_dtype = (
@@ -68,15 +70,21 @@ def zero_shot_classifier(
             params, clip_cfg, list(classnames), list(templates), compute_dtype
         )
     )
+    aux = {"text_features": text_features}
 
-    # params/txt ride as (default) call operands, not closed-over constants:
-    # closure would inline the 86M-param backbone into the compile payload
-    @jax.jit
-    def classify(images, params=params, txt=text_features):
-        img = encode_image(params, images, clip_cfg, compute_dtype=compute_dtype)
-        img = img.astype(jnp.float32)
-        img = img / jnp.linalg.norm(img, axis=-1, keepdims=True)
-        return jnp.exp(params["logit_scale"]) * jnp.dot(img, txt.T)
+    # the scoring body is the ZeroshotCLIP trainer's inference fn — one
+    # scoring path, no drift.  params/aux must be EXPLICIT jit operands:
+    # closed-over (or default-arg) arrays lower as inlined HLO constants,
+    # which would embed the 86M-param backbone in the compile payload
+    # (HTTP 413 on the tunneled remote-compile path).
+    score = jax.jit(
+        functools.partial(
+            _zs_inference, clip_cfg=clip_cfg, compute_dtype=compute_dtype
+        )
+    )
+
+    def classify(images):
+        return score(None, params, aux, images)
 
     return classify
 

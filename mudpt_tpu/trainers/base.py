@@ -486,13 +486,13 @@ class TrainerBase:
             loader = ()     # zero-sample results instead of crashing
         # encode the class-prompt text tower ONCE per eval pass (prompts are
         # fixed during eval); trainers without the split fall back to the
-        # full per-batch forward
+        # full per-batch forward.  Lazy on the first batch so an empty split
+        # never pays the n_cls x 77 encode.
         text_fn = getattr(self, "_text_features", None)
-        txt = (
-            text_fn(self.trainable, self.frozen, self.aux)
-            if text_fn is not None else None
-        )
+        txt = None
         for batch in loader:
+            if text_fn is not None and txt is None:
+                txt = text_fn(self.trainable, self.frozen, self.aux)
             sb = shard_batch(
                 self.mesh, self._cast_images(batch), host_local=eval_sharded
             )
