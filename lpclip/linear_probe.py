@@ -20,9 +20,21 @@ VAL_SHOTS = {1: 1, 2: 2, 4: 4, 8: 4, 16: 4}
 COARSE_GRID = [1e6, 1e4, 1e2, 1, 1e-2, 1e-4, 1e-6]
 
 
+def _l2_kwargs():
+    """L2 regularization spelled per sklearn version: ``penalty="l2"`` is
+    deprecated since 1.8 (removed in 1.10) in favor of ``l1_ratio=0``;
+    both mean the same ridge term the reference's probe uses."""
+    import sklearn
+
+    major, minor = (int(x) for x in sklearn.__version__.split(".")[:2])
+    if (major, minor) >= (1, 8):
+        return {"l1_ratio": 0}
+    return {"penalty": "l2"}
+
+
 def fit_eval(c, xtr, ytr, xva, yva):
     clf = LogisticRegression(
-        solver="lbfgs", max_iter=1000, penalty="l2", C=c
+        solver="lbfgs", max_iter=1000, C=c, **_l2_kwargs()
     ).fit(xtr, ytr)
     acc = float((clf.predict(xva) == yva).mean())
     return clf, acc
