@@ -101,13 +101,21 @@ class TFDataLoader:
         raw = tf.io.read_file(path)
         img = tf.io.decode_image(raw, channels=3, expand_animations=False)
         shape = tf.shape(img)
+        # same geometry arithmetic as transforms.EvalTransform / torchvision:
+        # short side -> size, long side int-truncated, crop origin
+        # round(delta/2) half-to-even (tf.round rounds half to even too)
         short = tf.minimum(shape[0], shape[1])
-        scale = tf.cast(size, tf.float32) / tf.cast(short, tf.float32)
-        nh = tf.cast(tf.round(tf.cast(shape[0], tf.float32) * scale), tf.int32)
-        nw = tf.cast(tf.round(tf.cast(shape[1], tf.float32) * scale), tf.int32)
+        long_ = tf.maximum(shape[0], shape[1])
+        new_long = tf.cast(
+            tf.cast(size, tf.float64) * tf.cast(long_, tf.float64)
+            / tf.cast(short, tf.float64),
+            tf.int32,
+        )
+        nh = tf.where(shape[0] >= shape[1], new_long, size)
+        nw = tf.where(shape[0] >= shape[1], size, new_long)
         img = tf.image.resize(img, (nh, nw), method="bicubic")
-        top = (nh - size) // 2
-        left = (nw - size) // 2
+        top = tf.cast(tf.round(tf.cast(nh - size, tf.float32) / 2.0), tf.int32)
+        left = tf.cast(tf.round(tf.cast(nw - size, tf.float32) / 2.0), tf.int32)
         img = img[top : top + size, left : left + size]
         return tf.reshape(self._normalize(img), (size, size, 3)), label
 

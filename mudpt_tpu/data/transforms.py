@@ -50,12 +50,25 @@ class EvalTransform:
         return _normalize(np.asarray(arr, np.float32), self.mean, self.std)
 
     def __call__(self, img: Image.Image) -> np.ndarray:
+        # Geometry replicates torchvision exactly (the reference preprocesses
+        # with torchvision's PIL backend, clip/clip.py:80-87): Resize(int)
+        # maps the short side to `size` and the long side to
+        # int(size * long / short) — truncation, not rounding — and skips the
+        # resample entirely when the short side already equals `size`;
+        # CenterCrop picks the origin with int(round(delta / 2)) (Python
+        # round, half-to-even).  Off-by-one geometry shifts every pixel, so
+        # these details are part of the accuracy-parity surface.
         w, h = img.size
-        scale = self.size / min(w, h)
-        nw, nh = round(w * scale), round(h * scale)
-        img = img.resize((nw, nh), self.interp)
-        left = (nw - self.size) // 2
-        top = (nh - self.size) // 2
+        if min(w, h) != self.size:
+            if w < h:
+                nw, nh = self.size, int(self.size * h / w)
+            else:
+                nw, nh = int(self.size * w / h), self.size
+            img = img.resize((nw, nh), self.interp)
+        else:
+            nw, nh = w, h
+        left = int(round((nw - self.size) / 2.0))
+        top = int(round((nh - self.size) / 2.0))
         img = img.crop((left, top, left + self.size, top + self.size))
         arr = np.asarray(img, np.float32) / 255.0
         return _normalize(arr, self.mean, self.std)

@@ -111,6 +111,51 @@ def test_folder_per_class_dataset(tmp_path):
     assert [d.impath for d in dm2.dataset.test] == [d.impath for d in dm.dataset.test]
 
 
+def test_eval_transform_torchvision_geometry():
+    """EvalTransform must replicate torchvision's exact resize/crop
+    arithmetic (the reference preprocesses with torchvision's PIL backend,
+    clip/clip.py:80-87): Resize(int) truncates the long side
+    (int(size*long/short), NOT round), skips resampling when the short side
+    already equals size, and CenterCrop's origin is int(round(delta/2))
+    (Python half-to-even), NOT delta//2.  Pinned bit-for-bit against an
+    explicit PIL composition using torchvision's published formulas."""
+    size = 32
+    tf = EvalTransform(size=size)
+
+    def torchvision_reference(img):
+        w, h = img.size
+        # F.resize(size:int), PIL path
+        if min(w, h) != size:
+            if w < h:
+                ow, oh = size, int(size * h / w)
+            else:
+                ow, oh = int(size * w / h), size
+            img = img.resize((ow, oh), Image.BICUBIC)
+        # F.center_crop
+        w, h = img.size
+        top = int(round((h - size) / 2.0))
+        left = int(round((w - size) / 2.0))
+        img = img.crop((left, top, left + size, top + size))
+        arr = np.asarray(img, np.float32) / 255.0
+        return (arr - np.asarray(tf.mean, np.float32)) / np.asarray(
+            tf.std, np.float32
+        )
+
+    rng = np.random.default_rng(0)
+    # (149, 100): long side 32*149/100 = 47.68 -> 47 by truncation (48 by
+    # rounding) and crop delta 15 -> left 8 by round-half (7 by floor-div);
+    # (100, 149): same, transposed; (32, 77): short side == size, resize
+    # must be SKIPPED entirely (torchvision early-return); (90, 90): square
+    for w, h in [(149, 100), (100, 149), (32, 77), (90, 90), (501, 375)]:
+        img = Image.fromarray(
+            rng.integers(0, 256, (h, w, 3), dtype=np.uint8), "RGB"
+        )
+        ours = tf(img)
+        ref = torchvision_reference(img)
+        assert ours.shape == (size, size, 3) == ref.shape
+        np.testing.assert_array_equal(ours, ref, err_msg=f"size ({w},{h})")
+
+
 def test_train_transform_shapes():
     cfg = default_config()
     tf = build_transform(cfg, is_train=True)
