@@ -111,6 +111,10 @@ class TrainCfg:
     PRINT_FREQ: int = 5
     CHECKPOINT_FREQ: int = 0  # 0 => only final epoch
     PROFILE_DIR: str = ""     # XProf trace dir; traces epoch-0 steps when set
+    # SIGTERM (SLURM preemption / TPU maintenance) => finish the in-flight
+    # step, write model-preempt.pth.tar (weights + optimizer state + exact
+    # batch position), exit cleanly; RESUME continues bit-identically
+    CHECKPOINT_ON_SIGTERM: bool = True
 
 
 @_node

@@ -129,6 +129,8 @@ class TrainerBase:
         )
         self.epoch = 0
         self._best_val = -1.0
+        self._preempt = False       # set by the SIGTERM handler
+        self._skip_batches = 0      # mid-epoch resume fast-forward
 
         hp = cfg.trainer_params() if cfg.TRAINER.NAME else None
         prec = getattr(hp, "PREC", "fp32") if hp is not None else "fp32"
@@ -279,10 +281,79 @@ class TrainerBase:
         num_batches = len(self.dm.train_loader)
         start_epoch = self.resume_if_requested()
         print(f"Start training: {max_epoch} epochs x {num_batches} batches")
-        for self.epoch in range(start_epoch, max_epoch):
-            self.run_epoch()
-            self.after_epoch()
+        restore_handler = (
+            self._install_sigterm_handler()
+            if cfg.TRAIN.CHECKPOINT_ON_SIGTERM and self.trainable is not None
+            else None
+        )
+        try:
+            for self.epoch in range(start_epoch, max_epoch):
+                self.run_epoch()
+                if self._preempt:
+                    # run_epoch already wrote model-preempt.pth.tar at the
+                    # step boundary; skip final test, exit cleanly
+                    print(
+                        "Training preempted — set RESUME "
+                        f"{cfg.OUTPUT_DIR} to continue exactly"
+                    )
+                    self.metrics.close()
+                    return
+                self.after_epoch()
+        finally:
+            if restore_handler is not None:
+                restore_handler()
         self.after_train()
+
+    def _install_sigterm_handler(self):
+        """SIGTERM (SLURM preemption, TPU maintenance, kubelet eviction) →
+        finish the in-flight step, checkpoint, stop cleanly.  Returns a
+        restore callable, or None off the main thread (library embeddings).
+        On pods every task receives the scheduler's signal; each host stops
+        at its own step boundary and only the primary writes — hosts whose
+        signal is late park in the next collective until their own delivery
+        (normal scheduler shutdown semantics)."""
+        import signal
+
+        def handler(signum, frame):
+            self._preempt = True
+            print(
+                "SIGTERM received — checkpointing at the next step boundary",
+                flush=True,
+            )
+
+        try:
+            prev = signal.signal(signal.SIGTERM, handler)
+        except ValueError:  # not the main thread
+            return None
+        return lambda: signal.signal(signal.SIGTERM, prev)
+
+    def _save_preempt(self, batches_done: int):
+        """Consistent mid-epoch checkpoint after SIGTERM: weights +
+        optimizer state + the exact position (0-based epoch, batches_done,
+        global_step).  resume_if_requested fast-forwards the deterministic
+        loader by batches_done, making the resumed run bit-identical to an
+        uninterrupted one (data order and augmentation draws are pure
+        functions of (seed, epoch, position) in all three pipelines)."""
+        if self.trainable is None or jax.process_index() != 0:
+            return
+        opt = getattr(self, "opt_state", None)
+        path = save_checkpoint(
+            self.cfg.OUTPUT_DIR,
+            self.model_name,
+            self.epoch,
+            jax.device_get(self.trainable),
+            opt_state=jax.device_get(opt) if opt is not None else None,
+            meta={
+                "trainer": self.cfg.TRAINER.NAME,
+                "batches_done": int(batches_done),
+                "global_step": int(self.global_step),
+            },
+            tag="preempt",
+        )
+        print(
+            f"Preemption checkpoint saved to {path} "
+            f"(epoch {self.epoch + 1}, batch {batches_done})"
+        )
 
     def resume_if_requested(self) -> int:
         """cfg.RESUME: reload the newest checkpoint under that directory and
@@ -294,7 +365,28 @@ class TrainerBase:
         stays weights-only for transfer/warm-start semantics."""
         if not self.cfg.RESUME or self.trainable is None:
             return 0
+        num_batches = max(1, len(self.dm.train_loader))
         last = self._latest_epoch_on_primary(self.cfg.RESUME)
+        pre = self._preempt_meta_on_primary(self.cfg.RESUME)
+        if pre is not None and pre["global_step"] > last * num_batches:
+            # the preemption checkpoint is further along than any
+            # epoch-boundary one: continue from the exact batch position
+            self.load_model(self.cfg.RESUME, tag="preempt")
+            self._restore_opt_state(self.cfg.RESUME, tag="preempt")
+            epoch_idx, done = pre["epoch"], pre["batches_done"]
+            if done >= num_batches:  # signal landed on the epoch's last batch
+                start = epoch_idx + 1
+            else:
+                start = epoch_idx
+                self._skip_batches = done
+            if hasattr(self.dm.train_loader, "set_epoch"):
+                self.dm.train_loader.set_epoch(start)
+            self.global_step = epoch_idx * num_batches + done
+            print(
+                f"Resumed from preemption checkpoint (epoch {epoch_idx + 1}, "
+                f"batch {done}/{num_batches})"
+            )
+            return start
         if not last:
             print(
                 "RESUME requested but no checkpoints under "
@@ -306,11 +398,38 @@ class TrainerBase:
         if hasattr(self.dm.train_loader, "set_epoch"):
             # replay the exact data order an uninterrupted run would see
             self.dm.train_loader.set_epoch(last)
-        self.global_step = last * max(1, len(self.dm.train_loader))
+        self.global_step = last * num_batches
         print(f"Resumed from epoch {last}")
         return last
 
-    def _restore_opt_state(self, directory: str, epoch: int):
+    def _preempt_meta_on_primary(self, directory: str):
+        """Position metadata of ``model-preempt.pth.tar`` as seen by the
+        PRIMARY host, broadcast (same single-filesystem-owner contract as
+        _latest_epoch_on_primary); None when absent."""
+        import json as _json
+
+        from mudpt_tpu.parallel.multihost import broadcast_from_primary
+
+        vals = np.zeros(4, np.int64)
+        if jax.process_index() == 0:
+            p = os.path.join(
+                directory, self.model_name, "model-preempt.pth.tar.json"
+            )
+            if os.path.exists(p):
+                with open(p) as f:
+                    m = _json.load(f)
+                vals = np.asarray(
+                    [1, int(m.get("epoch", 0)), int(m.get("batches_done", 0)),
+                     int(m.get("global_step", 0))], np.int64,
+                )
+        vals = np.asarray(broadcast_from_primary(vals))
+        if not int(vals[0]):
+            return None
+        return {"epoch": int(vals[1]), "batches_done": int(vals[2]),
+                "global_step": int(vals[3])}
+
+    def _restore_opt_state(self, directory: str, epoch: int = 0,
+                           tag: Optional[str] = None):
         """Graft checkpointed optimizer leaves onto the live opt_state
         (pod-safe: primary reads, everyone receives the broadcast).  Falls
         back to the fresh state — loudly — if the checkpoint predates
@@ -322,7 +441,9 @@ class TrainerBase:
         ok = 0
         if jax.process_index() == 0:
             try:
-                _, opt_leaves, _ = load_checkpoint(directory, self.model_name, epoch)
+                _, opt_leaves, _ = load_checkpoint(
+                    directory, self.model_name, epoch, tag=tag
+                )
             except Exception:  # noqa: BLE001 — weights load already vetted the file
                 opt_leaves = None
             if (
@@ -385,9 +506,22 @@ class TrainerBase:
         t0 = time.time()
         timer = StepTimer()
         profiling = bool(cfg.TRAIN.PROFILE_DIR) and self.epoch == 0
-        for batch_idx, batch in enumerate(
-            self._device_prefetch(self.dm.train_loader)
-        ):
+        skip = self._skip_batches
+        self._skip_batches = 0
+        src = self.dm.train_loader
+        if skip:
+            # mid-epoch resume: decode-and-drop the batches the preempted
+            # run already consumed — the loader is deterministic per
+            # (seed, epoch), so the remainder replays exactly
+            def _fast_forward(loader=src, k=skip):
+                it = iter(loader)
+                for _ in range(k):
+                    next(it)
+                yield from it
+
+            src = _fast_forward()
+        for offset, batch in enumerate(self._device_prefetch(src)):
+            batch_idx = skip + offset
             trace = profile_trace(
                 cfg.TRAIN.PROFILE_DIR if profiling and batch_idx == 1 else None
             )
@@ -424,6 +558,9 @@ class TrainerBase:
                         "imgs_per_sec": timer.throughput(bsz),
                     }
                 )
+            if self._preempt:
+                self._save_preempt(batch_idx + 1)
+                return
 
     def after_epoch(self):
         cfg = self.cfg
@@ -550,6 +687,15 @@ class TrainerBase:
             meta={"trainer": self.cfg.TRAINER.NAME},
         )
         print(f"Checkpoint saved to {path}")
+        # an epoch-boundary checkpoint supersedes any preemption checkpoint
+        # from the segment that led to it — drop it so a later RESUME never
+        # rewinds to the stale mid-epoch state
+        pre = os.path.join(
+            self.cfg.OUTPUT_DIR, self.model_name, "model-preempt.pth.tar"
+        )
+        for p in (pre, pre + ".json"):
+            if os.path.exists(p):
+                os.remove(p)
 
     def _latest_epoch_on_primary(self, directory: str) -> int:
         """Highest saved epoch under <directory>/<model_name> as seen by the
@@ -595,7 +741,8 @@ class TrainerBase:
             )
         return latest
 
-    def load_model(self, directory: Optional[str], epoch: Optional[int] = None):
+    def load_model(self, directory: Optional[str], epoch: Optional[int] = None,
+                   tag: Optional[str] = None):
         """Load learned prompt weights; class-dependent buffers stay as the
         freshly-built ones (the reference deletes token_prefix/suffix from
         the state dict for the same effect, mudpt.py:293-298)."""
@@ -615,7 +762,7 @@ class TrainerBase:
             # otherwise the other hosts deadlock inside the broadcast below
             try:
                 loaded, _, meta = load_checkpoint(
-                    directory, self.model_name, epoch
+                    directory, self.model_name, epoch, tag=tag
                 )
                 host_tree = restore_into(host_tree, loaded)
                 ckpt_epoch = int(meta.get("epoch") or -1)

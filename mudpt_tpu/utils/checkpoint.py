@@ -48,11 +48,17 @@ def save_checkpoint(
     opt_state=None,
     is_best: bool = False,
     meta: Optional[Dict[str, Any]] = None,
+    tag: Optional[str] = None,
 ) -> str:
-    """Write ``<directory>/<name>/model.pth.tar-<epoch>`` (.npz content)."""
+    """Write ``<directory>/<name>/model.pth.tar-<epoch>`` (.npz content).
+
+    ``tag`` writes ``model-<tag>.pth.tar`` instead (used for the
+    ``preempt`` mid-epoch checkpoint, whose meta carries the 0-based
+    in-progress epoch plus ``batches_done``/``global_step``)."""
     outdir = os.path.join(directory, name)
     os.makedirs(outdir, exist_ok=True)
-    path = os.path.join(outdir, f"model.pth.tar-{epoch}")
+    fname = f"model-{tag}.pth.tar" if tag else f"model.pth.tar-{epoch}"
+    path = os.path.join(outdir, fname)
 
     flat = {f"trainable/{k}": v for k, v in _flatten(trainable).items()}
     if opt_state is not None:
@@ -84,13 +90,18 @@ def _unflatten(flat: Dict[str, np.ndarray]):
 
 
 def load_checkpoint(
-    directory: str, name: str, epoch: Optional[int] = None
+    directory: str, name: str, epoch: Optional[int] = None,
+    tag: Optional[str] = None,
 ) -> Tuple[dict, Optional[list], Dict[str, Any]]:
     """Load trainable tree + raw opt leaves + meta.
 
-    ``epoch=None`` loads ``model-best.pth.tar`` (reference mudpt.py:276-283).
+    ``epoch=None`` loads ``model-best.pth.tar`` (reference mudpt.py:276-283);
+    ``tag`` loads ``model-<tag>.pth.tar`` (e.g. the preemption checkpoint).
     """
-    fname = "model-best.pth.tar" if epoch is None else f"model.pth.tar-{epoch}"
+    if tag:
+        fname = f"model-{tag}.pth.tar"
+    else:
+        fname = "model-best.pth.tar" if epoch is None else f"model.pth.tar-{epoch}"
     path = os.path.join(directory, name, fname)
     if not os.path.exists(path):
         raise FileNotFoundError(f'Model not found at "{path}"')

@@ -79,6 +79,73 @@ def test_resume_is_exact(tmp_path):
     np.testing.assert_allclose(ctx_resumed, ctx_straight, rtol=1e-6, atol=1e-7)
 
 
+def test_preemption_checkpoint_resume_exact(tmp_path):
+    """SIGTERM mid-epoch: the trainer finishes the in-flight step, writes
+    model-preempt.pth.tar (weights + momentum + exact batch position), and
+    a RESUME'd run fast-forwards the deterministic loader to that batch —
+    final weights match the uninterrupted run bit-for-bit.  Also pins the
+    supersede rule: the next epoch-boundary checkpoint deletes the preempt
+    file so a later RESUME never rewinds to stale mid-epoch state."""
+
+    def make(outdir, max_epoch=3):
+        cfg = tiny_cfg("CoOp", tmp_path)
+        cfg.OPTIM.MAX_EPOCH = max_epoch
+        cfg.TRAIN.CHECKPOINT_FREQ = 1
+        cfg.TEST.NO_TEST = True
+        cfg.TEST.FINAL_MODEL = "last_step"
+        cfg.OUTPUT_DIR = str(tmp_path / outdir)
+        return cfg
+
+    tr_straight = build_trainer(make("straight"))
+    tr_straight.train()
+    ctx_straight = np.asarray(tr_straight.trainable["ctx"])
+
+    # preempted: the "signal" fires while step (num_batches + 2) computes —
+    # i.e. epoch 2, batch 2 of num_batches — and the loop must stop at that
+    # step's boundary (the handler only sets the flag; run_epoch checks it)
+    cfg1 = make("preempted")
+    tr1 = build_trainer(cfg1)
+    num_batches = len(tr1.dm.train_loader)
+    assert num_batches >= 3  # the stop must be strictly mid-epoch
+    real_step = tr1._train_step
+    calls = {"n": 0}
+
+    def step_then_signal(*a):
+        out = real_step(*a)
+        calls["n"] += 1
+        if calls["n"] == num_batches + 2:
+            tr1._preempt = True
+        return out
+
+    tr1._train_step = step_then_signal
+    tr1.train()
+    pre = os.path.join(cfg1.OUTPUT_DIR, "prompt_learner", "model-preempt.pth.tar")
+    assert os.path.exists(pre) and os.path.exists(pre + ".json")
+    import json
+
+    with open(pre + ".json") as f:
+        meta = json.load(f)
+    assert meta["epoch"] == 1 and meta["batches_done"] == 2
+    assert meta["global_step"] == num_batches + 2
+
+    # resume INTO THE SAME output dir (the SLURM-requeue shape)
+    cfg2 = make("preempted")
+    cfg2.RESUME = cfg1.OUTPUT_DIR
+    tr2 = build_trainer(cfg2)
+    start = tr2.resume_if_requested()
+    assert start == 1 and tr2._skip_batches == 2
+    assert tr2.global_step == num_batches + 2
+    tr2.train()  # resume_if_requested is idempotent (re-reads the same file)
+    np.testing.assert_allclose(
+        np.asarray(tr2.trainable["ctx"]), ctx_straight, rtol=1e-6, atol=1e-7
+    )
+    # epoch-2 checkpoint superseded the preemption file
+    assert os.path.exists(
+        os.path.join(cfg1.OUTPUT_DIR, "prompt_learner", "model.pth.tar-2")
+    )
+    assert not os.path.exists(pre)
+
+
 def test_tfdata_pipeline(tmp_path):
     pytest.importorskip("tensorflow")
     img_dir = tmp_path / "imgs"

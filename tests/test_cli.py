@@ -53,6 +53,56 @@ def test_cli_config_cascade(tmp_path):
     assert cfg.TRAINER.NAME == "MuDPT"
 
 
+def test_sigterm_writes_preemption_checkpoint(tmp_path):
+    """Real-signal path: SIGTERM a training subprocess mid-run; it must
+    finish the in-flight step, write model-preempt.pth.tar, print the
+    RESUME hint, and exit 0 (clean scheduler shutdown)."""
+    import signal
+    import time
+
+    env = dict(os.environ)
+    env.update(JAX_PLATFORMS="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=8")
+    out_dir = tmp_path / "out"
+    proc = subprocess.Popen(
+        [sys.executable, "train.py",
+         "--trainer", "CoOp",
+         "--dataset_config", "configs/datasets/synthetic.yaml",
+         "--output_dir", str(out_dir),
+         "--backbone", "test-tiny", "--backbone_path", "random",
+         "OPTIM.MAX_EPOCH", "500",
+         "INPUT.SIZE", "(32, 32)",
+         "DATALOADER.TRAIN_X.BATCH_SIZE", "8",
+         "TRAINER.COOP.PREC", "fp32",
+         "TRAIN.PRINT_FREQ", "1"],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env,
+    )
+    try:
+        # wait until training is demonstrably in the batch loop
+        lines = []
+        deadline = time.time() + 600
+        for line in proc.stdout:
+            lines.append(line)
+            if "batch [" in line:
+                break
+            assert time.time() < deadline, "".join(lines[-30:])
+        else:
+            raise AssertionError("train loop never started:\n" + "".join(lines[-30:]))
+        proc.send_signal(signal.SIGTERM)
+        rest, _ = proc.communicate(timeout=600)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+    out = "".join(lines) + rest
+    assert proc.returncode == 0, out[-3000:]
+    assert "Preemption checkpoint saved to" in out
+    assert "Training preempted" in out
+    ckpt = out_dir / "CoOpPromptLearner" / "model-preempt.pth.tar"
+    if not ckpt.exists():  # model_name differs per trainer; find it
+        hits = list(out_dir.glob("*/model-preempt.pth.tar"))
+        assert hits, out[-3000:]
+
+
 def test_parse_test_res(tmp_path):
     for seed in (1, 2):
         d = tmp_path / "runs" / f"seed_{seed}"
