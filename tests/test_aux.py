@@ -79,13 +79,18 @@ def test_resume_is_exact(tmp_path):
     np.testing.assert_allclose(ctx_resumed, ctx_straight, rtol=1e-6, atol=1e-7)
 
 
-def test_preemption_checkpoint_resume_exact(tmp_path):
+@pytest.mark.parametrize("pipeline", ["threads", "grain"])
+def test_preemption_checkpoint_resume_exact(tmp_path, pipeline):
     """SIGTERM mid-epoch: the trainer finishes the in-flight step, writes
     model-preempt.pth.tar (weights + momentum + exact batch position), and
     a RESUME'd run fast-forwards the deterministic loader to that batch —
-    final weights match the uninterrupted run bit-for-bit.  Also pins the
-    supersede rule: the next epoch-boundary checkpoint deletes the preempt
-    file so a later RESUME never rewinds to stale mid-epoch state."""
+    final weights match the uninterrupted run bit-for-bit (in every
+    pipeline whose order is a pure function of (seed, epoch, position)).
+    Also pins the supersede rule: the next epoch-boundary checkpoint
+    deletes the preempt file so a later RESUME never rewinds to stale
+    mid-epoch state."""
+    if pipeline == "grain":
+        pytest.importorskip("grain")
 
     def make(outdir, max_epoch=3):
         cfg = tiny_cfg("CoOp", tmp_path)
@@ -93,6 +98,7 @@ def test_preemption_checkpoint_resume_exact(tmp_path):
         cfg.TRAIN.CHECKPOINT_FREQ = 1
         cfg.TEST.NO_TEST = True
         cfg.TEST.FINAL_MODEL = "last_step"
+        cfg.DATALOADER.PIPELINE = pipeline
         cfg.OUTPUT_DIR = str(tmp_path / outdir)
         return cfg
 
