@@ -129,8 +129,9 @@ class TrainerBase:
         )
         self.epoch = 0
         self._best_val = -1.0
-        self._preempt = False       # set by the SIGTERM handler
-        self._skip_batches = 0      # mid-epoch resume fast-forward
+        self._preempt = False        # set by the SIGTERM handler
+        self._preempt_saved = False  # run_epoch wrote a mid-epoch checkpoint
+        self._skip_batches = 0       # mid-epoch resume fast-forward
 
         hp = cfg.trainer_params() if cfg.TRAINER.NAME else None
         prec = getattr(hp, "PREC", "fp32") if hp is not None else "fp32"
@@ -288,30 +289,47 @@ class TrainerBase:
         )
         try:
             for self.epoch in range(start_epoch, max_epoch):
-                self.run_epoch()
                 if self._preempt:
-                    # run_epoch already wrote model-preempt.pth.tar at the
-                    # step boundary; skip final test, exit cleanly
-                    print(
-                        "Training preempted — set RESUME "
-                        f"{cfg.OUTPUT_DIR} to continue exactly"
-                    )
-                    self.metrics.close()
-                    return
+                    # signal landed at an epoch boundary (during after_epoch
+                    # or on the previous epoch's last batch): record the
+                    # boundary position so CHECKPOINT_FREQ=0 runs lose
+                    # nothing (batches_done=0 → resume re-enters this epoch
+                    # from its first batch)
+                    self._save_preempt(0)
+                    return self._stop_preempted()
+                self.run_epoch()
+                if self._preempt and self._preempt_saved:
+                    # stopped strictly mid-epoch; skip final test, exit clean
+                    return self._stop_preempted()
+                # a signal on the epoch's LAST batch falls through: the
+                # epoch completed, so run after_epoch (val + boundary
+                # checkpoint supersede the mid-epoch state), then stop at
+                # the loop top above
                 self.after_epoch()
         finally:
             if restore_handler is not None:
                 restore_handler()
         self.after_train()
 
+    def _stop_preempted(self):
+        print(
+            "Training preempted — set RESUME "
+            f"{self.cfg.OUTPUT_DIR} to continue exactly"
+        )
+        self.metrics.close()
+
     def _install_sigterm_handler(self):
         """SIGTERM (SLURM preemption, TPU maintenance, kubelet eviction) →
         finish the in-flight step, checkpoint, stop cleanly.  Returns a
         restore callable, or None off the main thread (library embeddings).
-        On pods every task receives the scheduler's signal; each host stops
-        at its own step boundary and only the primary writes — hosts whose
-        signal is late park in the next collective until their own delivery
-        (normal scheduler shutdown semantics)."""
+        Pods: every task receives the scheduler's signal, each host stops at
+        its own step boundary, only the primary writes.  Signal-arrival skew
+        is NOT coordinated across hosts — if a peer exits before the
+        primary reaches its boundary, the primary's next collective never
+        completes and the grace period ends in SIGKILL with no preemption
+        file; RESUME then degrades to the last epoch checkpoint (safe, just
+        coarser).  Bit-exact mid-epoch resume is guaranteed for
+        single-process runs; on pods it is best-effort."""
         import signal
 
         def handler(signum, frame):
@@ -334,7 +352,10 @@ class TrainerBase:
         loader by batches_done, making the resumed run bit-identical to an
         uninterrupted one (data order and augmentation draws are pure
         functions of (seed, epoch, position) in all three pipelines)."""
-        if self.trainable is None or jax.process_index() != 0:
+        if self.trainable is None:
+            return
+        self._preempt_saved = True  # every host takes the same train() branch
+        if jax.process_index() != 0:
             return
         opt = getattr(self, "opt_state", None)
         path = save_checkpoint(
@@ -347,6 +368,7 @@ class TrainerBase:
                 "trainer": self.cfg.TRAINER.NAME,
                 "batches_done": int(batches_done),
                 "global_step": int(self.global_step),
+                "best_val": float(self._best_val),
             },
             tag="preempt",
         )
@@ -367,7 +389,7 @@ class TrainerBase:
             return 0
         num_batches = max(1, len(self.dm.train_loader))
         last = self._latest_epoch_on_primary(self.cfg.RESUME)
-        pre = self._preempt_meta_on_primary(self.cfg.RESUME)
+        pre = self._ckpt_meta_on_primary(self.cfg.RESUME, tag="preempt")
         if pre is not None and pre["global_step"] > last * num_batches:
             # the preemption checkpoint is further along than any
             # epoch-boundary one: continue from the exact batch position
@@ -382,6 +404,7 @@ class TrainerBase:
             if hasattr(self.dm.train_loader, "set_epoch"):
                 self.dm.train_loader.set_epoch(start)
             self.global_step = epoch_idx * num_batches + done
+            self._best_val = pre.get("best_val", -1.0)
             print(
                 f"Resumed from preemption checkpoint (epoch {epoch_idx + 1}, "
                 f"batch {done}/{num_batches})"
@@ -399,34 +422,54 @@ class TrainerBase:
             # replay the exact data order an uninterrupted run would see
             self.dm.train_loader.set_epoch(last)
         self.global_step = last * num_batches
+        meta = self._ckpt_meta_on_primary(self.cfg.RESUME, epoch=last)
+        # without this, a resumed best_val run would re-crown a WORSE epoch
+        # as model-best (fresh _best_val = -1 beats everything)
+        self._best_val = meta.get("best_val", -1.0) if meta else -1.0
         print(f"Resumed from epoch {last}")
         return last
 
-    def _preempt_meta_on_primary(self, directory: str):
-        """Position metadata of ``model-preempt.pth.tar`` as seen by the
-        PRIMARY host, broadcast (same single-filesystem-owner contract as
-        _latest_epoch_on_primary); None when absent."""
-        import json as _json
-
+    def _ckpt_meta_on_primary(self, directory: str, epoch=None, tag=None):
+        """Position/score metadata of a checkpoint as seen by the PRIMARY
+        host, broadcast (same single-filesystem-owner contract as
+        _latest_epoch_on_primary); None when absent.  Meta is read from the
+        npz itself (atomic with the weights); a corrupt/torn file is
+        CONTAINED — reported as absent with a warning — so a bad preemption
+        artifact degrades resume to the last epoch checkpoint instead of
+        bricking it (and pod peers never deadlock in the broadcast)."""
         from mudpt_tpu.parallel.multihost import broadcast_from_primary
 
-        vals = np.zeros(4, np.int64)
+        vals = np.zeros(5, np.float64)
         if jax.process_index() == 0:
-            p = os.path.join(
-                directory, self.model_name, "model-preempt.pth.tar.json"
+            fname = (
+                f"model-{tag}.pth.tar" if tag else f"model.pth.tar-{epoch}"
             )
+            p = os.path.join(directory, self.model_name, fname)
             if os.path.exists(p):
-                with open(p) as f:
-                    m = _json.load(f)
-                vals = np.asarray(
-                    [1, int(m.get("epoch", 0)), int(m.get("batches_done", 0)),
-                     int(m.get("global_step", 0))], np.int64,
-                )
+                try:
+                    data = np.load(p, allow_pickle=False)
+                    meta = {
+                        k[len("meta/"):]: data[k].item()
+                        for k in data.files
+                        if k.startswith("meta/") and data[k].ndim == 0
+                        and data[k].dtype.kind in "ifu"
+                    }
+                    vals = np.asarray(
+                        [1.0, float(meta.get("epoch", 0)),
+                         float(meta.get("batches_done", 0)),
+                         float(meta.get("global_step", 0)),
+                         float(meta.get("best_val", -1.0))], np.float64,
+                    )
+                except Exception as e:  # noqa: BLE001 — see docstring
+                    print(
+                        f"WARNING: unreadable checkpoint meta at {p} "
+                        f"({type(e).__name__}: {e}) — ignoring it"
+                    )
         vals = np.asarray(broadcast_from_primary(vals))
-        if not int(vals[0]):
+        if not float(vals[0]):
             return None
         return {"epoch": int(vals[1]), "batches_done": int(vals[2]),
-                "global_step": int(vals[3])}
+                "global_step": int(vals[3]), "best_val": float(vals[4])}
 
     def _restore_opt_state(self, directory: str, epoch: int = 0,
                            tag: Optional[str] = None):
@@ -558,7 +601,10 @@ class TrainerBase:
                         "imgs_per_sec": timer.throughput(bsz),
                     }
                 )
-            if self._preempt:
+            if self._preempt and batch_idx + 1 < num_batches:
+                # strictly mid-epoch: record the exact position.  A signal
+                # on the last batch instead lets the epoch complete so the
+                # normal after_epoch val + boundary checkpoint still happen.
                 self._save_preempt(batch_idx + 1)
                 return
 
@@ -684,12 +730,15 @@ class TrainerBase:
             jax.device_get(self.trainable),
             opt_state=jax.device_get(opt) if opt is not None else None,
             is_best=is_best,
-            meta={"trainer": self.cfg.TRAINER.NAME},
+            meta={
+                "trainer": self.cfg.TRAINER.NAME,
+                "best_val": float(self._best_val),
+            },
         )
         print(f"Checkpoint saved to {path}")
         # an epoch-boundary checkpoint supersedes any preemption checkpoint
         # from the segment that led to it — drop it so a later RESUME never
-        # rewinds to the stale mid-epoch state
+        # rewinds to the stale mid-epoch state (npz first: resume keys on it)
         pre = os.path.join(
             self.cfg.OUTPUT_DIR, self.model_name, "model-preempt.pth.tar"
         )

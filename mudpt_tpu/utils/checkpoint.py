@@ -65,15 +65,27 @@ def save_checkpoint(
         leaves, treedef = jax.tree_util.tree_flatten(opt_state)
         for i, leaf in enumerate(leaves):
             flat[f"opt/{i}"] = np.asarray(leaf)
-    with open(path, "wb") as f:
+    # meta rides INSIDE the npz so the checkpoint is one atomic unit — a
+    # SIGKILL during the preemption grace period must never leave a
+    # weights/meta mismatch (the json sidecar is kept for humans/tools but
+    # load prefers the npz copy)
+    full_meta = {"epoch": epoch, **(meta or {})}
+    for k, v in full_meta.items():
+        flat[f"meta/{k}"] = np.asarray(v)
+    # write-to-temp + atomic rename: a kill mid-write leaves the previous
+    # checkpoint intact instead of a torn file
+    with open(path + ".tmp", "wb") as f:
         np.savez(f, **flat)
-    with open(path + ".json", "w") as f:
-        json.dump({"epoch": epoch, **(meta or {})}, f)
+    os.replace(path + ".tmp", path)
+    with open(path + ".json.tmp", "w") as f:
+        json.dump(full_meta, f)
+    os.replace(path + ".json.tmp", path + ".json")
     if is_best:
         best = os.path.join(outdir, "model-best.pth.tar")
         for src, dst in ((path, best), (path + ".json", best + ".json")):
-            with open(src, "rb") as fi, open(dst, "wb") as fo:
+            with open(src, "rb") as fi, open(dst + ".tmp", "wb") as fo:
                 fo.write(fi.read())
+            os.replace(dst + ".tmp", dst)
     return path
 
 
@@ -116,8 +128,15 @@ def load_checkpoint(
     ]
     meta = {}
     if os.path.exists(path + ".json"):
-        with open(path + ".json") as f:
-            meta = json.load(f)
+        try:
+            with open(path + ".json") as f:
+                meta = json.load(f)
+        except ValueError:  # torn sidecar: the npz copy is authoritative
+            meta = {}
+    # npz-embedded meta wins over the sidecar (single atomic unit)
+    for k, v in data.items():
+        if k.startswith("meta/"):
+            meta[k[len("meta/"):]] = v.item() if v.ndim == 0 else v.tolist()
     return trainable, (opt_leaves or None), meta
 
 

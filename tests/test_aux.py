@@ -152,6 +152,105 @@ def test_preemption_checkpoint_resume_exact(tmp_path, pipeline):
     assert not os.path.exists(pre)
 
 
+def test_preemption_on_last_batch_and_boundary(tmp_path):
+    """A signal landing on an epoch's LAST batch must let the epoch
+    complete (after_epoch's val + boundary checkpoint still run) and then
+    stop at the loop top with a boundary preemption record (batches_done=0)
+    — so CHECKPOINT_FREQ=0 runs lose nothing.  Resume re-enters the next
+    epoch from its first batch and bit-matches the uninterrupted run."""
+
+    def make(outdir, max_epoch=3):
+        cfg = tiny_cfg("CoOp", tmp_path)
+        cfg.OPTIM.MAX_EPOCH = max_epoch
+        cfg.TRAIN.CHECKPOINT_FREQ = 0  # the boundary record is the only one
+        cfg.TEST.NO_TEST = True
+        cfg.TEST.FINAL_MODEL = "last_step"
+        cfg.OUTPUT_DIR = str(tmp_path / outdir)
+        return cfg
+
+    tr_straight = build_trainer(make("straight"))
+    tr_straight.train()
+    ctx_straight = np.asarray(tr_straight.trainable["ctx"])
+
+    cfg1 = make("preempted")
+    tr1 = build_trainer(cfg1)
+    num_batches = len(tr1.dm.train_loader)
+    real_step = tr1._train_step
+    calls = {"n": 0}
+
+    def step_then_signal(*a):
+        out = real_step(*a)
+        calls["n"] += 1
+        if calls["n"] == num_batches:  # epoch 1's last batch
+            tr1._preempt = True
+        return out
+
+    tr1._train_step = step_then_signal
+    tr1.train()
+    assert calls["n"] == num_batches  # no extra steps ran
+    import json
+
+    pre = os.path.join(cfg1.OUTPUT_DIR, "prompt_learner", "model-preempt.pth.tar")
+    with open(pre + ".json") as f:
+        meta = json.load(f)
+    assert meta["epoch"] == 1 and meta["batches_done"] == 0
+    assert meta["global_step"] == num_batches
+
+    cfg2 = make("preempted")
+    cfg2.RESUME = cfg1.OUTPUT_DIR
+    tr2 = build_trainer(cfg2)
+    start = tr2.resume_if_requested()
+    assert start == 1 and tr2._skip_batches == 0
+    tr2.train()
+    np.testing.assert_allclose(
+        np.asarray(tr2.trainable["ctx"]), ctx_straight, rtol=1e-6, atol=1e-7
+    )
+
+
+def test_resume_survives_corrupt_preempt_file(tmp_path):
+    """A torn/corrupt model-preempt.pth.tar (SIGKILL artifacts) must be
+    CONTAINED: resume warns and falls back to the last epoch checkpoint
+    instead of crashing — and the npz-embedded meta is authoritative, so a
+    missing json sidecar doesn't matter."""
+    cfg = tiny_cfg("CoOp", tmp_path)
+    cfg.OPTIM.MAX_EPOCH = 2
+    cfg.TRAIN.CHECKPOINT_FREQ = 1
+    cfg.TEST.NO_TEST = True
+    cfg.TEST.FINAL_MODEL = "last_step"
+    tr = build_trainer(cfg)
+    tr.train()
+    sub = os.path.join(cfg.OUTPUT_DIR, "prompt_learner")
+
+    # corrupt preempt npz + stale sidecar claiming to be furthest along
+    import json
+
+    with open(os.path.join(sub, "model-preempt.pth.tar"), "wb") as f:
+        f.write(b"not an npz")
+    with open(os.path.join(sub, "model-preempt.pth.tar.json"), "w") as f:
+        json.dump({"epoch": 1, "batches_done": 1, "global_step": 10**6}, f)
+
+    cfg2 = tiny_cfg("CoOp", tmp_path)
+    cfg2.OPTIM.MAX_EPOCH = 4
+    cfg2.RESUME = cfg.OUTPUT_DIR
+    cfg2.OUTPUT_DIR = str(tmp_path / "resumed")
+    tr2 = build_trainer(cfg2)
+    start = tr2.resume_if_requested()  # must not raise
+    assert start == 2  # fell back to the epoch-2 checkpoint
+
+    # npz meta is the source of truth: drop the sidecar of a VALID preempt
+    # checkpoint and resume must still fast-forward from the npz meta
+    tr2._save_preempt(1)
+    os.remove(os.path.join(cfg2.OUTPUT_DIR, "prompt_learner",
+                           "model-preempt.pth.tar.json"))
+    cfg3 = tiny_cfg("CoOp", tmp_path)
+    cfg3.OPTIM.MAX_EPOCH = 4
+    cfg3.RESUME = cfg2.OUTPUT_DIR
+    cfg3.OUTPUT_DIR = str(tmp_path / "resumed2")
+    tr3 = build_trainer(cfg3)
+    start = tr3.resume_if_requested()
+    assert start == tr2.epoch and tr3._skip_batches == 1
+
+
 def test_tfdata_pipeline(tmp_path):
     pytest.importorskip("tensorflow")
     img_dir = tmp_path / "imgs"

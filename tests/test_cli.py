@@ -58,7 +58,6 @@ def test_sigterm_writes_preemption_checkpoint(tmp_path):
     finish the in-flight step, write model-preempt.pth.tar, print the
     RESUME hint, and exit 0 (clean scheduler shutdown)."""
     import signal
-    import time
 
     env = dict(os.environ)
     env.update(JAX_PLATFORMS="cpu",
@@ -78,18 +77,29 @@ def test_sigterm_writes_preemption_checkpoint(tmp_path):
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env,
     )
     try:
-        # wait until training is demonstrably in the batch loop
+        # wait until training is demonstrably in the batch loop; the reader
+        # runs in a thread so a wedged subprocess that stops printing can't
+        # block readline (and the suite) past the deadline
+        import threading
+
         lines = []
-        deadline = time.time() + 600
-        for line in proc.stdout:
-            lines.append(line)
-            if "batch [" in line:
-                break
-            assert time.time() < deadline, "".join(lines[-30:])
-        else:
-            raise AssertionError("train loop never started:\n" + "".join(lines[-30:]))
+        seen_batch = threading.Event()
+
+        def _reader():
+            for line in proc.stdout:
+                lines.append(line)
+                if "batch [" in line:
+                    seen_batch.set()
+
+        t = threading.Thread(target=_reader, daemon=True)
+        t.start()
+        assert seen_batch.wait(timeout=600), (
+            "train loop never started:\n" + "".join(lines[-30:])
+        )
         proc.send_signal(signal.SIGTERM)
-        rest, _ = proc.communicate(timeout=600)
+        proc.wait(timeout=600)
+        t.join(timeout=60)
+        rest = ""
     finally:
         if proc.poll() is None:
             proc.kill()
