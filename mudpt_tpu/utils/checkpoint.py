@@ -117,6 +117,17 @@ def load_checkpoint(
     path = os.path.join(directory, name, fname)
     if not os.path.exists(path):
         raise FileNotFoundError(f'Model not found at "{path}"')
+    # reference-trained (PyTorch/Dassl) checkpoints use the same directory
+    # and filename contract — detect and import them transparently, so
+    # `--eval_only --model_dir <reference output dir>` just works
+    from mudpt_tpu.models.import_reference import (
+        is_torch_checkpoint,
+        load_reference_checkpoint,
+    )
+
+    if is_torch_checkpoint(path):
+        tree, meta = load_reference_checkpoint(path)
+        return tree, None, meta
     data = dict(np.load(path, allow_pickle=False))
     trainable = _unflatten(
         {k[len("trainable/"):]: v for k, v in data.items() if k.startswith("trainable/")}
