@@ -53,6 +53,18 @@ def test_cli_config_cascade(tmp_path):
     assert cfg.TRAINER.NAME == "MuDPT"
 
 
+def test_cli_accepts_dead_reference_flags(tmp_path):
+    # --head / --transforms exist in the reference CLI but its reset_cfg
+    # never reads them (reference train.py:57-66 vs :193-194); accept them
+    # so reference launch scripts run verbatim.
+    args = train_cli.parse_args(
+        _argv(tmp_path, extra=["--head", "linear", "--transforms",
+                               "random_flip", "random_crop", "--"])
+    )
+    cfg = train_cli.setup_config(args)
+    assert cfg.TRAINER.NAME == "MuDPT"
+
+
 def test_sigterm_writes_preemption_checkpoint(tmp_path):
     """Real-signal path: SIGTERM a training subprocess mid-run; it must
     finish the in-flight step, write model-preempt.pth.tar, print the

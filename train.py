@@ -111,9 +111,20 @@ def parse_args(argv=None):
     parser.add_argument("--model_dir", type=str, default="")
     parser.add_argument("--load_epoch", type=int, default=None)
     parser.add_argument("--no_train", action="store_true")
+    # accepted for drop-in compatibility with reference launch scripts;
+    # dead in the reference too (its reset_cfg never reads them —
+    # reference train.py:57-66 vs :193-194)
+    parser.add_argument("--head", type=str, default="", help=argparse.SUPPRESS)
+    parser.add_argument("--transforms", type=str, nargs="+",
+                        help=argparse.SUPPRESS)
     parser.add_argument("opts", default=None, nargs=argparse.REMAINDER,
                         help="KEY VALUE config overrides")
-    return parser.parse_args(argv)
+    args = parser.parse_args(argv)
+    # A leading "--" separates nargs="+" flags (e.g. --transforms) from the
+    # positional KEY VALUE overrides; REMAINDER keeps it, so drop it here.
+    if args.opts and args.opts[0] == "--":
+        args.opts = args.opts[1:]
+    return args
 
 
 if __name__ == "__main__":
