@@ -105,3 +105,83 @@ def test_special_tokens_encode_to_single_ids():
     assert tok.encode("<|startoftext|>") == [tok.sot]
     ids = tok.encode("a photo <|endoftext|> trailing")
     assert tok.eot in ids and ids.count(tok.eot) == 1
+
+
+def test_encode_fuzz_matches_reference(ref_tok):
+    """Seeded fuzz: 600 synthetic strings stress the BPE merge ORDER (the
+    in-place rank-table pass vs the reference's pair-set loop), contraction
+    splits, digit isolation, punctuation runs, html entities, special
+    tokens, and NFC-stable non-ASCII.  The corpus deliberately avoids NFD
+    sequences and the mojibake marker leads (U+00C2/C3/E2 + continuation):
+    the oracle stubs ftfy as identity, while both real ftfy and our
+    _fix_text would rewrite those (covered by the mojibake unit tests)."""
+    import random
+    import string
+
+    ours = get_tokenizer()
+    rng = random.Random(1234)
+    words = [
+        "a", "photo", "of", "the", "satellite", "aircraft", "737-700",
+        "great_white_shark", "Abyssinian", "x-ray", "don't", "it's",
+        "we're", "I'll", "they've", "2012", "42", "3.14", "100%", "&amp;",
+        "&lt;tag&gt;", "<|endoftext|>", "<|startoftext|>", "naïve", "café",
+        "中文", "日本語", "πλάτων", "Straße", "øre", "ñandú", "FGVC",
+        "anti-aliased", "état", "so......", "e.g.", "U.S.A.", "f(x)=x^2",
+        "[CLS]", "''", '"quoted"', "under_score_name", "CamelCaseWord",
+        "hyphen-ated-long-chain", "trailing.", ",leading", "mixedCASE123",
+    ]
+    seps = [" ", "  ", "\t", "\n", " \n ", "", ", ", "; ", " - "]
+    for i in range(600):
+        n = rng.randint(0, 12)
+        parts = []
+        for _ in range(n):
+            r = rng.random()
+            if r < 0.6:
+                parts.append(rng.choice(words))
+            elif r < 0.8:
+                # random ascii word
+                parts.append("".join(
+                    rng.choice(string.ascii_letters + string.digits)
+                    for _ in range(rng.randint(1, 12))))
+            else:
+                # punctuation run
+                parts.append("".join(
+                    rng.choice(string.punctuation)
+                    for _ in range(rng.randint(1, 5))))
+        s = ""
+        for p in parts:
+            s += p + rng.choice(seps)
+        assert ours.encode(s) == ref_tok.encode(s), f"case {i}: {s!r}"
+
+
+def test_all_templates_and_classnames_match_reference(ref_tok):
+    """The full production tokenization surface: every ensembling template
+    and every dataset's CUSTOM_TEMPLATE, formatted with representative real
+    classnames (including the rename-map outputs with spaces, underscores,
+    digits and punctuation), must encode to the reference's exact ids."""
+    from mudpt_tpu.trainers.templates import (
+        CUSTOM_TEMPLATES,
+        IMAGENET_TEMPLATES,
+        IMAGENET_TEMPLATES_SELECT,
+    )
+
+    ours = get_tokenizer()
+    classnames = [
+        "face", "leopards", "off-center satellite photo",
+        "Annual Crop Land", "british_shorthair", "british shorthair",
+        "2012 Tesla Model S", "Boeing 737-700", "air conditioner",
+        "Apply_Eye_Makeup", "apply eye makeup", "great white shark",
+        "baton twirling", "forest", "water lily",
+    ]
+    templates = (
+        list(IMAGENET_TEMPLATES)
+        + list(IMAGENET_TEMPLATES_SELECT)
+        + list(CUSTOM_TEMPLATES.values())
+    )
+    checked = 0
+    for tpl in templates:
+        for cname in classnames[:: 3 if len(templates) > 40 else 1]:
+            text = tpl.format(cname.replace("_", " "))
+            assert ours.encode(text) == ref_tok.encode(text), text
+            checked += 1
+    assert checked >= len(templates)
