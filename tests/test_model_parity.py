@@ -99,13 +99,24 @@ def _mudpt_cfg(mod, n_ctx):
 
 
 @pytest.mark.parametrize("is_text", [False, True])
-@pytest.mark.parametrize("depth", [1, 3, 5])
-def test_mudpt_prompt_splicing_parity(torch_mod, is_text, depth):
+@pytest.mark.parametrize(
+    "depth,n_ctx",
+    [
+        (1, 2),   # no deep prompts at all
+        (3, 2),   # interior depth
+        (5, 2),   # depth > n_layers: surplus prompt rows are ignored
+        (4, 2),   # depth == n_layers: EVERY non-zero layer splices
+        (3, 4),   # wider splice window (text 1..1+n_ctx, visual tail-4)
+        (4, 4),   # both boundaries at once
+    ],
+)
+def test_mudpt_prompt_splicing_parity(torch_mod, is_text, depth, n_ctx):
     """Reference ResidualAttentionBlock_MuDPT threading (clip/model.py:275-301)
-    vs our scan + injection schedule, for several prompt depths."""
+    vs our scan + injection schedule, across prompt depth / n_ctx combos
+    including the boundaries (depth == n_layers, depth > n_layers)."""
     torch = torch_mod
     mod = import_reference_clip()
-    width, heads, layers, n_ctx = 64, 2, 4, 2
+    width, heads, layers = 64, 2, 4
     cfg = _mudpt_cfg(mod, n_ctx)
 
     mask_t = None
