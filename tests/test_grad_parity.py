@@ -199,10 +199,15 @@ def test_mudpt_grad_parity():
     _assert_grad_tree_close(grads, ref_grads)
 
 
-@pytest.mark.parametrize("csc", [False, True])
-def test_coop_grad_parity(csc):
+@pytest.mark.parametrize("csc,position", [(False, "end"), (True, "end"),
+                                           (False, "middle"), (False, "front")])
+def test_coop_grad_parity(csc, position):
+    """All three class-token positions: middle/front route ctx gradients
+    through the per-class index-map gather (a dropped or misrouted splice
+    gradient would differ from torch autograd here even though the forward
+    parity test passes)."""
     cfg = _base_cfg("CoOp", N_CTX=4, CTX_INIT="", PREC="fp32", CSC=csc,
-                    CLASS_TOKEN_POSITION="end")
+                    CLASS_TOKEN_POSITION=position)
     torch, clip_mod, tmod = _setup("coop", cfg)
     clip_model = _tiny_clip(clip_mod, cfg=None)
     ref = tmod.CustomCLIP(cfg, CLASSNAMES, clip_model).float().eval()
@@ -210,6 +215,11 @@ def test_coop_grad_parity(csc):
     clip_cfg, frozen = _backbone(clip_model)
     pl = ref.prompt_learner
     aux = _aux_from_learner(pl)
+    from mudpt_tpu.trainers.prompt_utils import build_position_index_map
+
+    idx = build_position_index_map(position, pl.name_lens, pl.n_ctx, 77)
+    if idx is not None:
+        aux["index_map"] = jnp.asarray(idx)
     trainable = {"ctx": t(pl.ctx)}
     images = _images()
 
