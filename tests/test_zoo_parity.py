@@ -282,3 +282,63 @@ def test_uumudpt_parity():
         clip_cfg=clip_cfg, compute_dtype=jnp.float32,
     )
     np.testing.assert_allclose(np.asarray(ours), ref_logits, **TOL)
+
+
+@pytest.mark.parametrize("ctx_init", ["a photo of a", "an itap of"])
+def test_coop_ctx_init_parity(ctx_init):
+    """CTX_INIT (embedding-initialized context) parity — reference
+    coop.py:50-58: n_ctx becomes the WORD count while the init slice is
+    embedding positions 1..1+n_ctx, which are BPE TOKENS; when a word
+    splits ('itap' -> multiple BPE tokens) the slice is deliberately
+    misaligned with words, and our init must reproduce that exact quirk.
+    Also pins our embed_classnames aux (prefix/suffix/eot) against the
+    reference learner's buffers under a non-'X' prompt prefix, and the full
+    logits with OUR-built aux."""
+    from mudpt_tpu.trainers.prompt_utils import (
+        ctx_vectors_from_init,
+        embed_classnames,
+    )
+
+    n_ctx = len(ctx_init.split(" "))
+    # N_CTX deliberately wrong in the cfg: the reference overrides it with
+    # the word count when CTX_INIT is set
+    cfg = _base_cfg("CoOp", N_CTX=16, CTX_INIT=ctx_init, PREC="fp32",
+                    CSC=False, CLASS_TOKEN_POSITION="end")
+    torch, clip_mod, tmod = _setup("coop", cfg)
+    clip_model = _tiny_clip(clip_mod, cfg=None)
+    ref = tmod.CustomCLIP(cfg, CLASSNAMES, clip_model).float().eval()
+    clip_cfg, frozen = _backbone(clip_model)
+    pl = ref.prompt_learner
+
+    ours_ctx = ctx_vectors_from_init(frozen["text"], ctx_init, n_ctx)
+    np.testing.assert_allclose(
+        np.asarray(ours_ctx), pl.ctx.detach().numpy(), rtol=1e-6, atol=1e-6
+    )
+
+    aux_cls = embed_classnames(frozen["text"], CLASSNAMES, n_ctx, ctx_init)
+    np.testing.assert_allclose(
+        np.asarray(aux_cls.token_prefix), pl.token_prefix.numpy(),
+        rtol=1e-6, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(aux_cls.token_suffix), pl.token_suffix.numpy(),
+        rtol=1e-6, atol=1e-6,
+    )
+    tokenized = getattr(  # the reference buffer name is typo'd (coop.py:96)
+        pl, "tokenized_prompts", getattr(pl, "tokenized_prompted", None)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(aux_cls.eot_idx),
+        tokenized.argmax(dim=-1).numpy().astype(np.int32),
+    )
+
+    images = _images()
+    with torch.no_grad():
+        ref_logits = ref(torch.from_numpy(images)).numpy()
+    tree = aux_cls.as_device_tree()
+    ours = coop_forward(
+        {"ctx": ours_ctx}, frozen, tree,
+        jnp.asarray(images.transpose(0, 2, 3, 1)),
+        clip_cfg=clip_cfg, compute_dtype=jnp.float32,
+    )
+    np.testing.assert_allclose(np.asarray(ours), ref_logits, **TOL)
