@@ -236,3 +236,70 @@ def test_fullscale_mudpt_grad_parity(torch_mods, mudpt_fullscale):
         "visual_ctx_deep_projections": glin(ie.visual_ctx_deep_projections),
     }
     _assert_grad_tree_close(grads, ref_grads)
+
+
+L14 = dict(
+    embed_dim=768, image_resolution=224, vision_layers=24, vision_width=1024,
+    vision_patch_size=14, context_length=77, vocab_size=49408,
+    transformer_width=768, transformer_heads=12, transformer_layers=12,
+)
+
+
+def test_fullscale_vitl14_zeroshot_parity(torch_mods, monkeypatch):
+    """ViT-L/14 at real dims (24 layers, width 1024, 16 vision heads,
+    patch 14 -> 257-token sequences; 12-head/768-wide text tower,
+    reference clip/model.py:885-904 shape inference).  The ViT-L TPU bench
+    row (docs/BENCHMARKS.md) runs these exact shapes; this is their oracle
+    evidence: converter transposes, 16-head reshapes and the wider
+    embed_dim certified against the reference, fp32 AND the bf16
+    production path."""
+    # roll the layer scan for this test only: XLA-CPU compile of 2x24
+    # unrolled 1024-wide layers dominates the test's runtime (~11 min
+    # unrolled); rolled-vs-unrolled equivalence (incl. prompt injection)
+    # is pinned by test_model_parity.py::test_rolled_scan_matches_unrolled,
+    # and running the ROLLED path against the oracle here gives the scan
+    # path its own full-scale oracle coverage.
+    from mudpt_tpu.models import transformer as _T
+
+    monkeypatch.setattr(_T, "_SCAN_UNROLL", "1")
+
+    torch, clip_mod, _ = torch_mods
+    torch.manual_seed(7)
+    ref = clip_mod.CLIP(**L14, cfg=None).float().eval()
+
+    clip_cfg, params = torch_state_dict_to_jax(ref.state_dict())
+    assert clip_cfg.vision_width == 1024 and clip_cfg.vision_layers == 24
+    assert clip_cfg.vision_patch_size == 14 and clip_cfg.embed_dim == 768
+
+    # b=1 / 3 classes: this test is execution-bound (one 1/8-host-threads
+    # virtual device runs a 24-layer 1024-wide model 4 times across the
+    # fp32 + bf16 legs); batch size adds nothing to shape coverage here
+    prompts = [f"a photo of a {c}." for c in CLASSNAMES[:3]]
+    tokens = tokenize(prompts)
+    images = _images(b=1)
+
+    with torch.no_grad():
+        ref_logits, _ = ref(
+            torch.from_numpy(images), torch.from_numpy(tokens.astype(np.int64))
+        )
+        ref_logits = ref_logits.numpy()
+
+    ours, _ = clip_forward(
+        params, jnp.asarray(images.transpose(0, 2, 3, 1)),
+        jnp.asarray(tokens), clip_cfg, compute_dtype=jnp.float32,
+    )
+    ours = np.asarray(ours)
+    np.testing.assert_allclose(ours, ref_logits, rtol=1e-3, atol=1e-3)
+    assert (ours.argmax(-1) == ref_logits.argmax(-1)).all()
+
+    # bf16 production path at L scale (same bound rationale as
+    # test_fullscale_bf16_drift_vs_reference)
+    p16 = cast_matmul_weights(params, jnp.bfloat16)
+    ours16, _ = clip_forward(
+        p16, jnp.asarray(images.transpose(0, 2, 3, 1)),
+        jnp.asarray(tokens), clip_cfg, compute_dtype=jnp.bfloat16,
+    )
+    a = np.asarray(ref_logits, np.float64)
+    b = np.asarray(ours16, np.float64)
+    rel = np.abs(a - b).max() / np.abs(a).max()
+    assert rel < 0.05, f"bf16-vs-reference drift too large at L/14: {rel:.4f}"

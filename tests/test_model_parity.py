@@ -170,3 +170,47 @@ def test_splice_shapes():
     assert st.shape == x.shape and sv.shape == x.shape
     assert (np.asarray(st[:, 1:4]) == 1).all() and (np.asarray(st[:, 0]) == 0).all()
     assert (np.asarray(sv[:, -3:]) == 1).all() and (np.asarray(sv[:, :7]) == 0).all()
+
+
+@pytest.mark.parametrize("is_text", [False, True])
+def test_rolled_scan_matches_unrolled(torch_mod, is_text):
+    """MUDPT_TPU_SCAN_UNROLL=1 (rolled lax.scan, the select-based injection
+    schedule) must match the default fully-unrolled path (Python-branch
+    injection) bit-meaningfully — WITH deep prompts spliced, where the two
+    code paths differ most.  Every other test runs the unrolled default, so
+    this is the rolled knob's only equivalence pin."""
+    from mudpt_tpu.models import transformer as T
+
+    mod = import_reference_clip()
+    torch = torch_mod
+    width, heads, layers, n_ctx, depth, seq = 64, 2, 4, 2, 3, 10
+    cfg = _mudpt_cfg(mod, n_ctx)
+    torch.manual_seed(0)
+    ref_tf = mod.Transformer(width, layers, heads, attn_mask=None,
+                             is_text_layer=is_text, cfg=cfg).eval()
+    blocks = _stack_blocks(
+        {k: _to_numpy(v) for k, v in ref_tf.state_dict().items()},
+        "resblocks", layers,
+    )
+    blocks = {k: {kk: jnp.asarray(vv) for kk, vv in v.items()}
+              for k, v in blocks.items()}
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(3, seq, width).astype(np.float32))
+    deep = jnp.asarray(rng.randn(depth - 1, n_ctx, width).astype(np.float32))
+    prompts, pmask = make_injection_schedule(layers, deep)
+    mask = causal_mask(seq) if is_text else None
+
+    def run():
+        return np.asarray(transformer_forward(
+            blocks, x, n_head=heads, mask=mask, prompts=prompts,
+            prompt_mask=pmask, n_ctx=n_ctx, is_text=is_text,
+        ))
+
+    unrolled = run()
+    prev = T._SCAN_UNROLL
+    T._SCAN_UNROLL = "1"
+    try:
+        rolled = run()
+    finally:
+        T._SCAN_UNROLL = prev
+    np.testing.assert_allclose(rolled, unrolled, rtol=1e-6, atol=1e-6)
