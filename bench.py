@@ -416,17 +416,27 @@ def _run(args) -> None:
 
     n_patch = (clip_cfg.image_resolution // clip_cfg.vision_patch_size) ** 2
     vis_seq = n_patch + 1 + args.n_ctx
+    # EOT-truncated text rows (MUDPT_TPU_TEXT_TRUNC) shrink the executed
+    # text tower; count the EXECUTED length so model-MFU does not claim
+    # credit for the dead positions truncation eliminated
+    txt_seq = (
+        int(aux["token_suffix"].shape[1]) + 1 + args.n_ctx
+        if "token_suffix" in aux
+        else 77
+    )
     img_fwd = tower_fwd_flops(
         vis_seq, clip_cfg.vision_layers, clip_cfg.vision_width, args.batch
     )
     txt_fwd = tower_fwd_flops(
-        77, clip_cfg.transformer_layers, clip_cfg.transformer_width, args.n_cls
+        txt_seq, clip_cfg.transformer_layers, clip_cfg.transformer_width,
+        args.n_cls,
     )
     img_bwd = tower_bwd_dx_flops(
         vis_seq, clip_cfg.vision_layers, clip_cfg.vision_width, args.batch
     )
     txt_bwd = tower_bwd_dx_flops(
-        77, clip_cfg.transformer_layers, clip_cfg.transformer_width, args.n_cls
+        txt_seq, clip_cfg.transformer_layers, clip_cfg.transformer_width,
+        args.n_cls,
     )
     model_flops = img_fwd + txt_fwd + img_bwd + txt_bwd
 

@@ -72,6 +72,40 @@ def _resolve_pack(n_rows: int, num_layers: int) -> int:
     return 1
 
 
+# EOT-truncated text rows: the text transformer is CAUSAL and the only
+# position ever read out is the EOT gather (reference clip/model.py:836), so
+# computing positions beyond max(eot)+1 is provably dead work — position i
+# only attends to positions <= i, LayerNorm is per-position, and nothing
+# after the EOT row feeds the output.  Class prompts ("a photo of a <cls>.")
+# occupy ~8-20 of the 77 context positions, so truncating the class-suffix
+# bank at build time (ClassPromptAux.effective_length) cuts the per-step
+# text-tower FLOPs several-fold with BIT-IDENTICAL results for the retained
+# positions — the reference computes all 77 positions and throws 60+ away.
+# "auto" (default) = on; "0" = off (full 77 rows, the reference's shapes).
+_TEXT_TRUNC = os.environ.get("MUDPT_TPU_TEXT_TRUNC", "auto")
+# floor the truncated length: very short rows (S=8) sit in untested Mosaic
+# layout territory and save nothing measurable beyond S=16
+_TRUNC_MIN = 16
+
+
+def text_truncate_enabled() -> bool:
+    return _TEXT_TRUNC != "0"
+
+
+def set_text_truncate(on: bool) -> None:
+    global _TEXT_TRUNC
+    _TEXT_TRUNC = "auto" if on else "0"
+
+
+def effective_text_length(max_eot: int, full_length: int) -> int:
+    """Static truncated sequence length: max(eot)+1 rounded up to the
+    8-sublane grid, floored at _TRUNC_MIN, never above the full length."""
+    if not text_truncate_enabled():
+        return full_length
+    L = max(_TRUNC_MIN, -(-(int(max_eot) + 1) // 8) * 8)
+    return min(full_length, L)
+
+
 # Text-tower backward strategy: at large n_cls the save-acts qkv/h writes
 # for n_cls*77-token rows cost ~9 GB HBM (n_cls=1000) — memory that is
 # better spent on a LARGER IMAGE BATCH, because the per-step text cost is
@@ -118,10 +152,22 @@ def text_forward(
     already placed (the prompt-learner's job); ``eot_idx`` (N,) are the EOT
     positions of the corresponding token rows.
     """
-    x = prompt_embeddings + p["pos_embedding"].astype(prompt_embeddings.dtype)[None]
+    # slice the positional table to the row length: EOT-truncated class
+    # prompts (see _TEXT_TRUNC above) arrive with S < context_length
+    seq_len = prompt_embeddings.shape[-2]
+    x = prompt_embeddings + p["pos_embedding"][:seq_len].astype(
+        prompt_embeddings.dtype
+    )[None]
     is_causal = mask is None  # the default mask is the standard causal one
 
     n_ctx = deep_prompts.shape[-2] if deep_prompts is not None else 0
+    if 1 + n_ctx > seq_len:
+        # a splice window wider than the (possibly EOT-truncated) row would
+        # silently clamp its update-slice start — refuse loudly instead
+        raise ValueError(
+            f"deep-prompt splice window 1+{n_ctx} exceeds the text row "
+            f"length {seq_len}; set MUDPT_TPU_TEXT_TRUNC=0 or shrink N_CTX"
+        )
     num_layers = jax.tree_util.tree_leaves(p["blocks"])[0].shape[0]
     prompts, pmask = make_injection_schedule(num_layers, deep_prompts)
 

@@ -88,7 +88,7 @@ class CoOp(TrainerBase):
         class_tree = aux_cls.as_device_tree()
         index_map = build_position_index_map(
             hp.CLASS_TOKEN_POSITION, aux_cls.name_lens, n_ctx,
-            clip_cfg.context_length,
+            aux_cls.effective_length(),  # EOT-truncated rows (models/text.py)
         )
         if index_map is not None:
             class_tree["index_map"] = index_map

@@ -43,10 +43,24 @@ class ClassPromptAux:
     n_ctx: int
     prompt_prefix: str
 
+    def effective_length(self) -> int:
+        """Static composed-sequence length after EOT truncation (the text
+        tower is causal and only the EOT position is read out, so positions
+        beyond max(eot)+1 are provably dead — models/text.py).  Returns the
+        full context length when truncation is disabled."""
+        from mudpt_tpu.models.text import effective_text_length
+
+        full = 1 + self.n_ctx + self.token_suffix.shape[1]
+        return effective_text_length(int(np.max(self.eot_idx)), full)
+
     def as_device_tree(self) -> dict:
+        suffix = self.token_suffix
+        keep = self.effective_length() - 1 - self.n_ctx
+        if keep < suffix.shape[1]:
+            suffix = suffix[:, :keep]
         return {
             "token_prefix": self.token_prefix,
-            "token_suffix": self.token_suffix,
+            "token_suffix": suffix,
             "eot_idx": jnp.asarray(self.eot_idx),
         }
 

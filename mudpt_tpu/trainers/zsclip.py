@@ -25,14 +25,27 @@ from mudpt_tpu.utils.registry import TRAINER_REGISTRY
 
 
 def _encode_templates(params, clip_cfg, classnames, templates, compute_dtype):
-    """Mean-of-normalized-text-features over templates (zsclip.py:105-115)."""
+    """Mean-of-normalized-text-features over templates (zsclip.py:105-115).
+
+    Token rows are EOT-truncated host-side (models/text.py rationale: the
+    tower is causal and only the EOT position is read out, so positions past
+    max(eot)+1 are dead work) — template prompts occupy ~8-20 of the 77
+    context positions, so this cuts the one-time class-tower build several-
+    fold with identical features.  Lengths are rounded to the 8-sublane grid
+    so the ~80 ImageNet templates share one or two compiled graphs.
+    """
+    from mudpt_tpu.models.text import effective_text_length
+
     encode = jax.jit(
         functools.partial(encode_text, cfg=clip_cfg, compute_dtype=compute_dtype)
     )
     mean = 0.0
     for temp in templates:
         prompts = [temp.format(c.replace("_", " ")) for c in classnames]
-        feats = np.array(encode(params, jnp.asarray(tokenize(prompts))), np.float32)
+        toks = np.asarray(tokenize(prompts))
+        # EOT id is the vocabulary max, so argmax locates it (clip.py:186)
+        L = effective_text_length(int(toks.argmax(axis=-1).max()), toks.shape[1])
+        feats = np.array(encode(params, jnp.asarray(toks[:, :L])), np.float32)
         feats /= np.linalg.norm(feats, axis=-1, keepdims=True)
         mean = mean + feats
     mean = mean / len(templates)
