@@ -68,6 +68,12 @@ def _enable_compilation_cache() -> None:
         os.path.expanduser("~/.cache/mudpt_tpu/xla_cache"),
     )
     try:
+        # XLA:CPU AOT cache entries pin the COMPILE machine's features and
+        # log E-level SIGILL warnings (and risk real SIGILL) when reloaded
+        # on a different host — measured + rejected for CPU in round 3
+        # (CLAUDE.md).  Only the accelerator path benefits anyway.
+        if jax.default_backend() == "cpu":
+            return
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
@@ -76,6 +82,11 @@ def _enable_compilation_cache() -> None:
 
 
 def main(args) -> None:
+    # must run before ANYTHING that initializes the XLA backend (even
+    # jax.process_count() does) — env-gated no-op on single-host runs
+    from mudpt_tpu.parallel.multihost import maybe_initialize_distributed
+
+    maybe_initialize_distributed()
     cfg = setup_config(args)
     if cfg.SEED >= 0:
         print(f"Setting fixed seed: {cfg.SEED}")
