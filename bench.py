@@ -455,7 +455,7 @@ def _run(args) -> None:
             vis_frac = _FB.saved_fraction_for_width(clip_cfg.vision_width)
             txt_frac = (
                 _FB.SAVED_FWD_FRACTION_RECOMPUTE
-                if _TX._text_saves_off(args.n_cls)
+                if _TX._text_saves_off(args.n_cls, -(-txt_seq // 8) * 8)
                 else _FB.saved_fraction_for_width(clip_cfg.transformer_width)
             )
             recompute = img_fwd * (1.0 - vis_frac) + txt_fwd * (1.0 - txt_frac)

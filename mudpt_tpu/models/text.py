@@ -44,7 +44,12 @@ def causal_mask(context_length: int) -> jax.Array:
 # 0 = auto: G=4 on the TPU Pallas path when the row count is large enough
 # to amortize; 1 = off; explicit G forces.
 _TEXT_PACK = int(os.environ.get("MUDPT_TPU_TEXT_PACK", "0"))
-_AUTO_PACK_G = 4
+# auto G targets ~256 tokens per packed kernel row — the measured sweet spot
+# at both row lengths (n_cls=1000, B=384 unless noted; docs/BENCHMARKS.md):
+#   P=80 (full rows, B=192):  G=1 812, G=2 861.6, G=4 870.2*, G=8 842.5
+#   P=24 (EOT-truncated):     G=4 1513.9, G=8 1552.6*, G=16 1543.0
+_AUTO_PACK_TOKENS = 256
+_AUTO_PACK_MAX_G = 16
 _AUTO_PACK_MIN_ROWS = 256
 
 
@@ -53,7 +58,17 @@ def set_text_pack(g: int) -> None:
     _TEXT_PACK = max(0, int(g))
 
 
-def _resolve_pack(n_rows: int, num_layers: int) -> int:
+def _auto_pack_g(padded_seq: int) -> int:
+    # nearest power of two to _AUTO_PACK_TOKENS / P (pow2 keeps the padded
+    # row count a clean divisor of the class-row padding)
+    import math
+
+    ratio = max(1.0, _AUTO_PACK_TOKENS / max(1, padded_seq))
+    g = 2 ** int(round(math.log2(ratio)))
+    return max(1, min(_AUTO_PACK_MAX_G, g))
+
+
+def _resolve_pack(n_rows: int, num_layers: int, padded_seq: int = 80) -> int:
     if _TEXT_PACK != 0:
         return _TEXT_PACK
     from mudpt_tpu.models.layers import resolve_block_impl
@@ -68,7 +83,7 @@ def _resolve_pack(n_rows: int, num_layers: int) -> int:
         and n_rows >= _AUTO_PACK_MIN_ROWS
         and _resolve_unroll() >= num_layers
     ):
-        return _AUTO_PACK_G
+        return _auto_pack_g(padded_seq)
     return 1
 
 
@@ -110,15 +125,20 @@ def effective_text_length(max_eot: int, full_length: int) -> int:
 # for n_cls*77-token rows cost ~9 GB HBM (n_cls=1000) — memory that is
 # better spent on a LARGER IMAGE BATCH, because the per-step text cost is
 # fixed in n_cls while vision throughput improves with batch.  "auto" (default)
-# switches the text tower to recompute-backward when the row count is large;
-# 0/1 force.  The vision tower's strategy is unaffected.
+# switches the text tower to recompute-backward when the TOTAL row-token
+# count is large (the save footprint is n_rows x padded_seq x 8D bf16, so
+# EOT-truncated rows raise the n_cls where recompute starts paying: at
+# S=24, saves beat recompute at n_cls=1000/B=384 — 1544.2 vs 1513.9 img/s,
+# docs/BENCHMARKS.md); 0/1 force.  The vision tower is unaffected.  The
+# threshold is the round-3 measured crossover in row-token units
+# (512 rows x 80 padded tokens).
 _TEXT_RECOMPUTE = os.environ.get("MUDPT_TPU_TEXT_RECOMPUTE", "auto")
-_AUTO_RECOMPUTE_MIN_ROWS = 512
+_AUTO_RECOMPUTE_MIN_ROW_TOKENS = 512 * 80
 
 
-def _text_saves_off(n_rows: int) -> bool:
+def _text_saves_off(n_rows: int, padded_seq: int = 80) -> bool:
     if _TEXT_RECOMPUTE == "auto":
-        return n_rows >= _AUTO_RECOMPUTE_MIN_ROWS
+        return n_rows * padded_seq >= _AUTO_RECOMPUTE_MIN_ROW_TOKENS
     return _TEXT_RECOMPUTE == "1"
 
 
@@ -175,13 +195,18 @@ def text_forward(
 
     from mudpt_tpu.ops.fused_block import saved_acts
 
+    padded_seq = -(-seq_len // 8) * 8
     ctx_saves = (
         saved_acts(False)
-        if x.ndim == 3 and _text_saves_off(x.shape[0])
+        if x.ndim == 3 and _text_saves_off(x.shape[0], padded_seq)
         else contextlib.nullcontext()
     )
 
-    G = _resolve_pack(x.shape[0], num_layers) if (is_causal and x.ndim == 3) else 1
+    G = (
+        _resolve_pack(x.shape[0], num_layers, padded_seq)
+        if (is_causal and x.ndim == 3)
+        else 1
+    )
     if G > 1:
         # pack G class rows per kernel row: (N, S, D) -> (N/G, G*P, D),
         # P = S rounded to the sublane grid, sequences at offsets g*P

@@ -135,7 +135,23 @@ def test_auto_pack_requires_unrolled_path(monkeypatch):
     monkeypatch.setattr(T, "_TEXT_PACK", 0)
 
     monkeypatch.setattr(TR, "_SCAN_UNROLL", "auto")
-    assert T._resolve_pack(1000, num_layers=12) == T._AUTO_PACK_G
+    assert T._resolve_pack(1000, num_layers=12) == 4  # P=80 default
 
     monkeypatch.setattr(TR, "_SCAN_UNROLL", "1")  # rolled-scan A/B knob
     assert T._resolve_pack(1000, num_layers=12) == 1
+
+
+def test_auto_pack_scales_with_row_length(monkeypatch):
+    """Auto G targets ~256 tokens per packed row (measured sweet spot at
+    both P=80 and P=24 — docs/BENCHMARKS.md round 3), capped at 16."""
+    monkeypatch.setattr(L, "_BLOCK_IMPL", "pallas")
+    monkeypatch.setattr(T, "_TEXT_PACK", 0)
+    assert T._auto_pack_g(80) == 4    # full 77-token rows
+    assert T._auto_pack_g(24) == 8    # typical EOT-truncated rows
+    assert T._auto_pack_g(16) == 16   # floor-length rows
+    assert T._auto_pack_g(256) == 1   # already a full row
+    assert T._resolve_pack(1000, num_layers=12, padded_seq=24) == 8
+    # row-token recompute threshold: truncated rows keep saves on longer
+    assert T._text_saves_off(1000, padded_seq=80)
+    assert not T._text_saves_off(1000, padded_seq=24)
+    assert T._text_saves_off(2048, padded_seq=24)
