@@ -147,8 +147,10 @@ class CoCoOpCfg:
     # micro-batch size for the per-instance text encode (the O(B·n_cls)
     # blowup that forced the reference to batch 1 on ImageNet,
     # cocoop.py:187-193 + SURVEY.md §7).  0 = auto: chunk so one micro-batch
-    # encodes at most ~1024 prompt sequences (trainers/cocoop.py
-    # _resolve_chunk derives the bound); -1 = never chunk.
+    # encodes at most ~1024 full-length-row-equivalents of sequences —
+    # EOT-truncated rows admit proportionally more instances
+    # (trainers/cocoop.py _resolve_chunk derives the bound); -1 = never
+    # chunk.
     ENCODE_CHUNK: int = 0
 
 

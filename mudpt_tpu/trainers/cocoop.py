@@ -30,19 +30,24 @@ from mudpt_tpu.utils.registry import TRAINER_REGISTRY
 from mudpt_tpu.utils.rng import new_rng
 
 
-def _resolve_chunk(chunk: int, batch: int, n_cls: int) -> int:
+def _resolve_chunk(chunk: int, batch: int, n_cls: int, padded_seq: int = 80) -> int:
     """Micro-batch size for the per-instance text encode.
 
-    0 = auto: cap one micro-batch at ~1024 prompt sequences (n_cls × chunk).
-    A 77-token D=512 sequence through the 12-layer tower retains ~1.9 MB of
-    per-half-block residuals for its backward (recompute-mode kernels; the
-    chunk body disables activation saving), so 1024 sequences bound a
-    chunk's backward live set to ~2 GB — ImageNet-scale CoCoOp (n_cls=1000)
-    fits a 16 GB chip at any batch size.  -1 = never chunk."""
+    0 = auto: cap one micro-batch's live set by ROW-TOKENS (n_cls × chunk ×
+    padded_seq).  A 77-token (padded 80) D=512 sequence through the
+    12-layer tower retains ~1.9 MB of per-half-block residuals for its
+    backward (recompute-mode kernels; the chunk body disables activation
+    saving), so the cap of 1024 such sequences bounds a chunk's backward
+    live set to ~2 GB — ImageNet-scale CoCoOp (n_cls=1000) fits a 16 GB
+    chip at any batch size.  EOT-truncated rows (models/text.py) shrink
+    the per-sequence footprint proportionally, so the same budget admits
+    more instances per chunk (S=24: 3 instances at n_cls=1000).
+    -1 = never chunk."""
     if chunk == -1:
         return batch
     if chunk == 0:
-        chunk = max(1, 1024 // max(1, n_cls))
+        budget_row_tokens = 1024 * 80
+        chunk = max(1, budget_row_tokens // max(1, n_cls * padded_seq))
     return max(1, min(chunk, batch))
 
 
@@ -74,7 +79,13 @@ def cocoop_forward(trainable, frozen, aux, images, *, clip_cfg, compute_dtype,
 
     B = img.shape[0]
     n_cls = aux["token_prefix"].shape[0]
-    chunk = _resolve_chunk(encode_chunk, B, n_cls)
+    # composed row length (possibly EOT-truncated): SOT + ctx + suffix bank
+    seq = (
+        aux["token_prefix"].shape[1]
+        + trainable["ctx"].shape[-2]
+        + aux["token_suffix"].shape[1]
+    )
+    chunk = _resolve_chunk(encode_chunk, B, n_cls, -(-seq // 8) * 8)
     if chunk >= B:
         return jax.vmap(per_instance)(ctx_shifted, img)  # (B, n_cls)
 

@@ -114,6 +114,18 @@ def test_zeroshot_template_encode_truncated_matches_full(setup):
     np.testing.assert_allclose(trunc, full, rtol=1e-6, atol=1e-6)
 
 
+def test_cocoop_auto_chunk_scales_with_row_length():
+    """CoCoOp's auto encode-chunk caps the live set in ROW-TOKENS, so
+    EOT-truncated rows admit proportionally more instances per chunk."""
+    from mudpt_tpu.trainers.cocoop import _resolve_chunk
+
+    assert _resolve_chunk(0, 8, 1000, 80) == 1   # full rows: 1 instance
+    assert _resolve_chunk(0, 8, 1000, 24) == 3   # truncated: 3 instances
+    assert _resolve_chunk(0, 2, 1000, 24) == 2   # capped at batch
+    assert _resolve_chunk(-1, 8, 1000, 24) == 8  # never chunk
+    assert _resolve_chunk(4, 8, 1000, 24) == 4   # explicit forces
+
+
 def test_truncation_disabled_keeps_reference_shapes(setup):
     params, aux, ctx, deep = setup
     T.set_text_truncate(False)

@@ -1,0 +1,114 @@
+#!/usr/bin/env python
+"""CoCoOp ImageNet-scale train-step timing (the reference's hardest regime:
+reference trainers/cocoop.py loops n_cls text encodes PER IMAGE in Python
+and ran batch 1 on ImageNet).
+
+Times the full jitted train step (value_and_grad + SGD update) at
+n_cls=1000 with the chunked per-instance text encode, forcing a host fetch
+per step (block_until_ready can return early on the tunneled chip).
+
+Usage:
+  python tools/bench_cocoop.py [--batch 8] [--n-cls 1000] [--steps 8]
+  MUDPT_TPU_TEXT_TRUNC=0 python tools/bench_cocoop.py   # full-77-row A/B
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from mudpt_tpu.models.clip import VIT_B16, cast_matmul_weights, init_clip_params
+from mudpt_tpu.trainers.cocoop import cocoop_forward
+from mudpt_tpu.trainers.prompt_utils import embed_classnames, init_linear, random_ctx
+from mudpt_tpu.utils.rng import new_rng
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--n-cls", type=int, default=1000)
+    ap.add_argument("--n-ctx", type=int, default=4)
+    ap.add_argument("--steps", type=int, default=8)
+    ap.add_argument("--warmup", type=int, default=2)
+    args = ap.parse_args()
+
+    cfg = VIT_B16
+    params = cast_matmul_weights(init_clip_params(new_rng(0), cfg), jnp.bfloat16)
+    aux = embed_classnames(
+        params["text"],
+        [f"object number {i}" for i in range(args.n_cls)],
+        args.n_ctx,
+        " ".join(["X"] * args.n_ctx),
+    ).as_device_tree()
+    key = new_rng(1)
+    ks = jax.random.split(key, 3)
+    trainable = {
+        "ctx": random_ctx(ks[0], (args.n_ctx, cfg.transformer_width)),
+        "meta_net": {
+            "linear1": init_linear(ks[1], cfg.embed_dim, cfg.embed_dim // 16),
+            "linear2": init_linear(ks[2], cfg.embed_dim // 16, cfg.transformer_width),
+        },
+    }
+    fwd = functools.partial(
+        cocoop_forward, clip_cfg=cfg, compute_dtype=jnp.bfloat16, encode_chunk=0
+    )
+    tx = optax.sgd(2e-3, momentum=0.9)
+    opt_state = tx.init(trainable)
+
+    def loss_fn(tr, images, labels):
+        logits = fwd(tr, params, aux, images)
+        return optax.softmax_cross_entropy_with_integer_labels(
+            logits.astype(jnp.float32), labels
+        ).mean()
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def step(tr, opt_state, images, labels):
+        loss, grads = jax.value_and_grad(loss_fn)(tr, images, labels)
+        updates, opt_state = tx.update(grads, opt_state, tr)
+        return optax.apply_updates(tr, updates), opt_state, loss
+
+    images = jax.random.normal(
+        new_rng(2), (args.batch, 3, cfg.image_resolution, cfg.image_resolution),
+        jnp.bfloat16,
+    )
+    labels = jnp.arange(args.batch, dtype=jnp.int32) % args.n_cls
+
+    for _ in range(args.warmup):
+        trainable, opt_state, loss = step(trainable, opt_state, images, labels)
+        float(loss)  # host fetch: block_until_ready can return early
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        trainable, opt_state, loss = step(trainable, opt_state, images, labels)
+        float(loss)
+    dt = time.perf_counter() - t0
+
+    ms = dt / args.steps * 1e3
+    print(
+        json.dumps(
+            {
+                "metric": (
+                    f"CoCoOp ViT-B/16 train step (bf16, batch {args.batch}, "
+                    f"n_cls {args.n_cls}, chunked text encode)"
+                ),
+                "value": round(ms, 1),
+                "unit": "ms/step",
+                "img_per_sec": round(args.batch / (dt / args.steps), 2),
+                "text_trunc": os.environ.get("MUDPT_TPU_TEXT_TRUNC", "auto"),
+                "final_loss": float(loss),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
