@@ -36,18 +36,31 @@ def _resolve_chunk(chunk: int, batch: int, n_cls: int, padded_seq: int = 80) -> 
     0 = auto: cap one micro-batch's live set by ROW-TOKENS (n_cls × chunk ×
     padded_seq).  A 77-token (padded 80) D=512 sequence through the
     12-layer tower retains ~1.9 MB of per-half-block residuals for its
-    backward (recompute-mode kernels; the chunk body disables activation
-    saving), so the cap of 1024 such sequences bounds a chunk's backward
-    live set to ~2 GB — ImageNet-scale CoCoOp (n_cls=1000) fits a 16 GB
-    chip at any batch size.  EOT-truncated rows (models/text.py) shrink
-    the per-sequence footprint proportionally, so the same budget admits
-    more instances per chunk (S=24: 3 instances at n_cls=1000).
+    backward (recompute-mode kernels; the chunk/large-vmap bodies disable
+    activation saving), so the 256k-row-token budget bounds a chunk's
+    backward live set to ~6 GB — ImageNet-scale CoCoOp (n_cls=1000) fits
+    a 16 GB chip at any batch size, and fewer/larger chunks win big: the
+    lax.map serialization + checkpoint recompute dominate the step
+    (measured at n_cls=1000, B=8, S=24: chunk 3 554 ms, chunk 4 445 ms,
+    unchunked 336 ms — docs/BENCHMARKS.md).  EOT-truncated rows
+    (models/text.py) shrink the per-sequence footprint proportionally, so
+    the same budget admits proportionally more instances per chunk.
     -1 = never chunk."""
     if chunk == -1:
         return batch
     if chunk == 0:
-        budget_row_tokens = 1024 * 80
-        chunk = max(1, budget_row_tokens // max(1, n_cls * padded_seq))
+        budget_row_tokens = 3276 * 80
+        cap = max(1, budget_row_tokens // max(1, n_cls * padded_seq))
+        if cap >= batch:
+            return batch
+        # prefer a batch divisor: a non-dividing chunk pads the final
+        # micro-batch with duplicate instances, wasting a whole chunk of
+        # encode work (measured +14% at n_cls=1000, B=8, chunk 3 vs 2 —
+        # docs/BENCHMARKS.md)
+        for d in range(cap, 0, -1):
+            if batch % d == 0:
+                return d
+        return 1
     return max(1, min(chunk, batch))
 
 
@@ -85,9 +98,25 @@ def cocoop_forward(trainable, frozen, aux, images, *, clip_cfg, compute_dtype,
         + trainable["ctx"].shape[-2]
         + aux["token_suffix"].shape[1]
     )
-    chunk = _resolve_chunk(encode_chunk, B, n_cls, -(-seq // 8) * 8)
+    padded_seq = -(-seq // 8) * 8
+    chunk = _resolve_chunk(encode_chunk, B, n_cls, padded_seq)
     if chunk >= B:
-        return jax.vmap(per_instance)(ctx_shifted, img)  # (B, n_cls)
+        # the per-instance text_forward save policy sees n_cls rows — it is
+        # blind to the vmap batch factor — so apply the same row-token
+        # threshold over the TRUE B*n_cls row count here: qkv/h saves for
+        # the whole vmap'd encode would dwarf the recompute they avoid
+        import contextlib
+
+        from mudpt_tpu.models.text import _text_saves_off
+        from mudpt_tpu.ops.fused_block import saved_acts
+
+        ctx_sv = (
+            saved_acts(False)
+            if _text_saves_off(B * n_cls, padded_seq)
+            else contextlib.nullcontext()
+        )
+        with ctx_sv:
+            return jax.vmap(per_instance)(ctx_shifted, img)  # (B, n_cls)
 
     # chunked: lax.map over micro-batches of instances — the vmap'd text
     # encode's live set scales with chunk·n_cls instead of B·n_cls.  The

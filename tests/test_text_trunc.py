@@ -119,8 +119,9 @@ def test_cocoop_auto_chunk_scales_with_row_length():
     EOT-truncated rows admit proportionally more instances per chunk."""
     from mudpt_tpu.trainers.cocoop import _resolve_chunk
 
-    assert _resolve_chunk(0, 8, 1000, 80) == 1   # full rows: 1 instance
-    assert _resolve_chunk(0, 8, 1000, 24) == 3   # truncated: 3 instances
+    assert _resolve_chunk(0, 8, 1000, 80) == 2   # full rows: cap 3 -> divisor 2
+    assert _resolve_chunk(0, 8, 1000, 24) == 8   # truncated: unchunked
+    assert _resolve_chunk(0, 32, 1000, 24) == 8  # cap 10 -> divisor 8 (no pad)
     assert _resolve_chunk(0, 2, 1000, 24) == 2   # capped at batch
     assert _resolve_chunk(-1, 8, 1000, 24) == 8  # never chunk
     assert _resolve_chunk(4, 8, 1000, 24) == 4   # explicit forces

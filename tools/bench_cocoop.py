@@ -40,6 +40,8 @@ def main() -> None:
     ap.add_argument("--n-ctx", type=int, default=4)
     ap.add_argument("--steps", type=int, default=8)
     ap.add_argument("--warmup", type=int, default=2)
+    ap.add_argument("--chunk", type=int, default=0,
+                    help="ENCODE_CHUNK: 0 auto, -1 never, N instances")
     args = ap.parse_args()
 
     cfg = VIT_B16
@@ -60,35 +62,43 @@ def main() -> None:
         },
     }
     fwd = functools.partial(
-        cocoop_forward, clip_cfg=cfg, compute_dtype=jnp.bfloat16, encode_chunk=0
+        cocoop_forward, clip_cfg=cfg, compute_dtype=jnp.bfloat16,
+        encode_chunk=args.chunk,
     )
     tx = optax.sgd(2e-3, momentum=0.9)
     opt_state = tx.init(trainable)
 
-    def loss_fn(tr, images, labels):
-        logits = fwd(tr, params, aux, images)
+    # frozen params/aux ride as jit OPERANDS: a closed-over array lowers as
+    # an inlined HLO constant — the 86M-param backbone in the remote-compile
+    # HTTP payload is a 413 on this tunnel (CLAUDE.md)
+    def loss_fn(tr, frozen, aux_t, images, labels):
+        logits = fwd(tr, frozen, aux_t, images)
         return optax.softmax_cross_entropy_with_integer_labels(
             logits.astype(jnp.float32), labels
         ).mean()
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def step(tr, opt_state, images, labels):
-        loss, grads = jax.value_and_grad(loss_fn)(tr, images, labels)
+    def step(tr, opt_state, frozen, aux_t, images, labels):
+        loss, grads = jax.value_and_grad(loss_fn)(tr, frozen, aux_t, images, labels)
         updates, opt_state = tx.update(grads, opt_state, tr)
         return optax.apply_updates(tr, updates), opt_state, loss
 
     images = jax.random.normal(
-        new_rng(2), (args.batch, 3, cfg.image_resolution, cfg.image_resolution),
-        jnp.bfloat16,
+        new_rng(2), (args.batch, cfg.image_resolution, cfg.image_resolution, 3),
+        jnp.float32,
     )
     labels = jnp.arange(args.batch, dtype=jnp.int32) % args.n_cls
 
     for _ in range(args.warmup):
-        trainable, opt_state, loss = step(trainable, opt_state, images, labels)
+        trainable, opt_state, loss = step(
+            trainable, opt_state, params, aux, images, labels
+        )
         float(loss)  # host fetch: block_until_ready can return early
     t0 = time.perf_counter()
     for _ in range(args.steps):
-        trainable, opt_state, loss = step(trainable, opt_state, images, labels)
+        trainable, opt_state, loss = step(
+            trainable, opt_state, params, aux, images, labels
+        )
         float(loss)
     dt = time.perf_counter() - t0
 
@@ -104,6 +114,7 @@ def main() -> None:
                 "unit": "ms/step",
                 "img_per_sec": round(args.batch / (dt / args.steps), 2),
                 "text_trunc": os.environ.get("MUDPT_TPU_TEXT_TRUNC", "auto"),
+                "encode_chunk": args.chunk,
                 "final_loss": float(loss),
             }
         )
