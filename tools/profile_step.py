@@ -89,7 +89,7 @@ def main() -> None:
         bw = r.get("measured_memory_bw") or 0
         print(
             f"{name:64s} {t_us/1e3:9.2f} {100*t_us/max(total,1):6.1f} "
-            f"{occ:6d} {bw:7.1f}"
+            f"{int(occ):6d} {bw:7.1f}"
         )
 
 
