@@ -32,25 +32,28 @@ def causal_mask(context_length: int) -> jax.Array:
     return jnp.triu(mask, k=1)
 
 
-# Text-row packing factor: pack G independent 77-token class sequences into
-# one kernel row of G*80 tokens (80 = 77 rounded to the 8-sublane grid).
-# The per-token projections (12·D² of the layer's ~13·D²-units of matmul)
-# then run at M = G·80 rows per Pallas program instead of 77, and the grid
+# Text-row packing factor: pack G independent class sequences into one
+# kernel row of G*P tokens (P = the row length rounded to the 8-sublane
+# grid).  The per-token projections (12·D² of the layer's ~13·D²-units of
+# matmul) then run at M = G·P rows per Pallas program, and the grid
 # shrinks ×G — the lever for the large-n_cls text tower (ImageNet sweeps
-# re-encode n_cls×77 every step).  The Pallas kernels run PER-SEQUENCE
+# re-encode n_cls rows every step).  The Pallas kernels run PER-SEQUENCE
 # block attention (ops/fused_block._attn_block_spec), so score/softmax
-# cost does not inflate.  Measured at n_cls=1000, B=192 (docs/BENCHMARKS.md
-# round 3): G=1 812 img/s, G=2 861.6, **G=4 870.2 (+7.2%)**, G=8 842.5.
-# 0 = auto: G=4 on the TPU Pallas path when the row count is large enough
-# to amortize; 1 = off; explicit G forces.
+# cost does not inflate.
+# 0 = auto (below); 1 = off; explicit G forces.
 _TEXT_PACK = int(os.environ.get("MUDPT_TPU_TEXT_PACK", "0"))
-# auto G targets ~256 tokens per packed kernel row — the measured sweet spot
-# at both row lengths (n_cls=1000, B=384 unless noted; docs/BENCHMARKS.md):
-#   P=80 (full rows, B=192):  G=1 812, G=2 861.6, G=4 870.2*, G=8 842.5
-#   P=24 (EOT-truncated):     G=4 1513.9, G=8 1552.6*, G=16 1543.0
+# auto G targets ~256 tokens per packed kernel row, capped at 8 — the
+# measured optima (docs/BENCHMARKS.md round 3; n_cls=1000):
+#   P=80 (full rows, B=192):       G=1 812, G=2 861.6, G=4 870.2*, G=8 842.5
+#   P=16 (EOT-truncated, B=384):   G=4 1513.9, G=8 1552.6*, G=16 1543.0
+# and at n_cls=100/P=16 the headline measures 1830.0 with G=8 vs 1791.7
+# unpacked.  G=16 lost at both row lengths, hence the cap.
 _AUTO_PACK_TOKENS = 256
-_AUTO_PACK_MAX_G = 16
-_AUTO_PACK_MIN_ROWS = 256
+_AUTO_PACK_MAX_G = 8
+# engage auto packing only while the row-pad waste stays small: packing N
+# rows in groups of G pads to ceil(N/G)*G, so requiring N >= 8*G bounds
+# the waste at 12.5% — G shrinks to fit smaller class counts.
+_AUTO_PACK_MIN_GROUPS = 8
 
 
 def set_text_pack(g: int) -> None:
@@ -58,14 +61,18 @@ def set_text_pack(g: int) -> None:
     _TEXT_PACK = max(0, int(g))
 
 
-def _auto_pack_g(padded_seq: int) -> int:
+def _auto_pack_g(padded_seq: int, n_rows: int = 1 << 30) -> int:
     # nearest power of two to _AUTO_PACK_TOKENS / P (pow2 keeps the padded
-    # row count a clean divisor of the class-row padding)
+    # row count a clean divisor of the class-row padding), shrunk until the
+    # pad-waste gate (n_rows >= 8*G) admits it
     import math
 
     ratio = max(1.0, _AUTO_PACK_TOKENS / max(1, padded_seq))
     g = 2 ** int(round(math.log2(ratio)))
-    return max(1, min(_AUTO_PACK_MAX_G, g))
+    g = max(1, min(_AUTO_PACK_MAX_G, g))
+    while g > 1 and n_rows < _AUTO_PACK_MIN_GROUPS * g:
+        g //= 2
+    return g
 
 
 def _resolve_pack(n_rows: int, num_layers: int, padded_seq: int = 80) -> int:
@@ -80,10 +87,9 @@ def _resolve_pack(n_rows: int, num_layers: int, padded_seq: int = 80) -> int:
     # still forces (and gets the loud error).
     if (
         resolve_block_impl() == "pallas"
-        and n_rows >= _AUTO_PACK_MIN_ROWS
         and _resolve_unroll() >= num_layers
     ):
-        return _auto_pack_g(padded_seq)
+        return _auto_pack_g(padded_seq, n_rows)
     return 1
 
 

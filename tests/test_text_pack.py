@@ -148,9 +148,13 @@ def test_auto_pack_scales_with_row_length(monkeypatch):
     monkeypatch.setattr(T, "_TEXT_PACK", 0)
     assert T._auto_pack_g(80) == 4    # full 77-token rows
     assert T._auto_pack_g(24) == 8    # typical EOT-truncated rows
-    assert T._auto_pack_g(16) == 16   # floor-length rows
+    assert T._auto_pack_g(16) == 8    # floor-length rows (G=16 measured worse)
     assert T._auto_pack_g(256) == 1   # already a full row
     assert T._resolve_pack(1000, num_layers=12, padded_seq=24) == 8
+    # pad-waste gate (n_rows >= 8*G): G shrinks to fit the class count
+    assert T._resolve_pack(100, num_layers=12, padded_seq=24) == 8
+    assert T._resolve_pack(50, num_layers=12, padded_seq=24) == 4
+    assert T._resolve_pack(7, num_layers=12, padded_seq=24) == 1
     # row-token recompute threshold: truncated rows keep saves on longer
     assert T._text_saves_off(1000, padded_seq=80)
     assert not T._text_saves_off(1000, padded_seq=24)
