@@ -42,6 +42,9 @@ def main() -> None:
     ap.add_argument("--warmup", type=int, default=2)
     ap.add_argument("--chunk", type=int, default=0,
                     help="ENCODE_CHUNK: 0 auto, -1 never, N instances")
+    ap.add_argument("--mode", choices=["train", "eval"], default="train",
+                    help="eval = forward + argmax only (CoCoOp serving: "
+                    "instance-conditional prompts cannot use a text cache)")
     args = ap.parse_args()
 
     cfg = VIT_B16
@@ -88,6 +91,35 @@ def main() -> None:
         jnp.float32,
     )
     labels = jnp.arange(args.batch, dtype=jnp.int32) % args.n_cls
+
+    if args.mode == "eval":
+        @jax.jit
+        def eval_step(tr, frozen, aux_t, images):
+            return jnp.argmax(fwd(tr, frozen, aux_t, images), axis=-1)
+
+        for _ in range(args.warmup):
+            int(eval_step(trainable, params, aux, images)[0])
+        t0 = time.perf_counter()
+        for _ in range(args.steps):
+            int(eval_step(trainable, params, aux, images)[0])
+        dt = time.perf_counter() - t0
+        ms = dt / args.steps * 1e3
+        print(
+            json.dumps(
+                {
+                    "metric": (
+                        f"CoCoOp ViT-B/16 eval step (bf16, batch {args.batch}, "
+                        f"n_cls {args.n_cls}, per-instance text encode)"
+                    ),
+                    "value": round(ms, 1),
+                    "unit": "ms/step",
+                    "img_per_sec": round(args.batch / (dt / args.steps), 2),
+                    "text_trunc": os.environ.get("MUDPT_TPU_TEXT_TRUNC", "auto"),
+                    "encode_chunk": args.chunk,
+                }
+            )
+        )
+        return
 
     for _ in range(args.warmup):
         trainable, opt_state, loss = step(
