@@ -8,6 +8,7 @@ splice window exceeds the truncated row."""
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from mudpt_tpu.models import text as T
@@ -125,6 +126,48 @@ def test_cocoop_auto_chunk_scales_with_row_length():
     assert _resolve_chunk(0, 2, 1000, 24) == 2   # capped at batch
     assert _resolve_chunk(-1, 8, 1000, 24) == 8  # never chunk
     assert _resolve_chunk(4, 8, 1000, 24) == 4   # explicit forces
+
+
+def test_cocoop_unchunked_saves_off_branch_matches(monkeypatch):
+    """The unchunked CoCoOp encode disables activation saving once the TRUE
+    B*n_cls row-token count crosses the recompute threshold (the
+    per-instance text_forward view is blind to the vmap batch factor).
+    Forward logits must be identical either way — saves only change what
+    the backward reads."""
+    import functools
+
+    import jax.numpy as jnp
+
+    from mudpt_tpu.models.clip import init_clip_params
+    from mudpt_tpu.trainers.base import TINY_TEST
+    from mudpt_tpu.trainers.cocoop import cocoop_forward
+    from mudpt_tpu.trainers.prompt_utils import embed_classnames, init_linear, random_ctx
+    from mudpt_tpu.utils.rng import new_rng
+
+    params = init_clip_params(new_rng(0), TINY_TEST)
+    aux = embed_classnames(
+        params["text"], CLASSNAMES, N_CTX, "X X X X"
+    ).as_device_tree()
+    ks = jax.random.split(new_rng(1), 3)
+    trainable = {
+        "ctx": random_ctx(ks[0], (N_CTX, 64)),
+        "meta_net": {
+            "linear1": init_linear(ks[1], 64, 4),
+            "linear2": init_linear(ks[2], 4, 64),
+        },
+    }
+    images = jax.random.normal(new_rng(2), (4, 32, 32, 3), jnp.float32)
+    fwd = functools.partial(
+        cocoop_forward, clip_cfg=TINY_TEST, compute_dtype=jnp.float32,
+        encode_chunk=-1,
+    )
+    base = np.asarray(fwd(trainable, params, aux, images))
+    # force the vmap-aware threshold low enough that 4*3 rows trip it
+    from mudpt_tpu.models import text as TX
+
+    monkeypatch.setattr(TX, "_AUTO_RECOMPUTE_MIN_ROW_TOKENS", 1)
+    forced = np.asarray(fwd(trainable, params, aux, images))
+    np.testing.assert_array_equal(forced, base)
 
 
 def test_truncation_disabled_keeps_reference_shapes(setup):
