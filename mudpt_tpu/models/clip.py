@@ -178,6 +178,7 @@ def encode_image(
     compute_dtype=jnp.float32,
     layer0_prompt: Optional[jax.Array] = None,
     deep_prompts: Optional[jax.Array] = None,
+    mesh_ctx=None,
 ):
     if cfg.vision_arch == "resnet":
         from mudpt_tpu.models.resnet import resnet_forward
@@ -203,6 +204,7 @@ def encode_image(
         compute_dtype=compute_dtype,
         layer0_prompt=layer0_prompt,
         deep_prompts=deep_prompts,
+        mesh_ctx=mesh_ctx,
     )
 
 
@@ -213,6 +215,7 @@ def encode_text(
     *,
     compute_dtype=jnp.float32,
     deep_prompts: Optional[jax.Array] = None,
+    mesh_ctx=None,
 ):
     """Zero-shot text encoding from raw token ids (N, 77)."""
     from mudpt_tpu.models.text import embed_tokens, text_forward
@@ -225,6 +228,7 @@ def encode_text(
         eot_idx,
         n_head=cfg.transformer_heads,
         deep_prompts=deep_prompts,
+        mesh_ctx=mesh_ctx,
     )
 
 

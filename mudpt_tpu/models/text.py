@@ -171,6 +171,7 @@ def text_forward(
     n_head: int,
     deep_prompts: Optional[jax.Array] = None,
     mask: Optional[jax.Array] = None,
+    mesh_ctx=None,
 ):
     """Encode pre-embedded prompts: (N, S, width) -> (N, embed_dim).
 
@@ -213,37 +214,49 @@ def text_forward(
         if (is_causal and x.ndim == 3)
         else 1
     )
-    if G > 1:
-        # pack G class rows per kernel row: (N, S, D) -> (N/G, G*P, D),
-        # P = S rounded to the sublane grid, sequences at offsets g*P
-        N, S, D = x.shape
-        P = -(-S // 8) * 8
-        Npad = -(-N // G) * G
-        x = jnp.pad(x, ((0, Npad - N), (0, P - S), (0, 0)))
-        x = x.reshape(Npad // G, G * P, D)
-        with ctx_saves:
-            x = transformer_forward(
-                p["blocks"], x, n_head=n_head,
+
+    # the tower body below may run per-shard under shard_map (class rows
+    # sharded on the mesh's 'model' axis — parallel/mesh.shard_rows), so
+    # everything row-local lives inside it: packing pads/reshapes the
+    # LOCAL rows (a global pack would break shard divisibility: 1000
+    # classes / G=8 = 125 packed rows, indivisible by an even model axis),
+    # and masks rebuild from static shapes.
+    def tower(xx, blocks, prompts_op, mask_op):
+        if G > 1:
+            # pack G class rows per kernel row: (N, S, D) -> (N/G, G*P, D),
+            # P = S rounded to the sublane grid, sequences at offsets g*P
+            N, S, D = xx.shape
+            P = -(-S // 8) * 8
+            Npad = -(-N // G) * G
+            xx = jnp.pad(xx, ((0, Npad - N), (0, P - S), (0, 0)))
+            xx = xx.reshape(Npad // G, G * P, D)
+            xx = transformer_forward(
+                blocks, xx, n_head=n_head,
                 mask=packed_causal_mask(G * P, P, S),  # XLA fallback path
-                prompts=prompts, prompt_mask=pmask, n_ctx=n_ctx,
+                prompts=prompts_op, prompt_mask=pmask, n_ctx=n_ctx,
                 is_text=True, causal=(P, S), splice_period=P,
             )
-        x = x.reshape(Npad, P, D)[:N, :S]
-    else:
-        if is_causal:
-            mask = causal_mask(x.shape[1])
-        with ctx_saves:
-            x = transformer_forward(
-                p["blocks"],
-                x,
-                n_head=n_head,
-                mask=mask,
-                prompts=prompts,
-                prompt_mask=pmask,
-                n_ctx=n_ctx,
-                is_text=True,
-                causal=is_causal,
-            )
+            return xx.reshape(Npad, P, D)[:N, :S]
+        m = causal_mask(xx.shape[1]) if is_causal else mask_op
+        return transformer_forward(
+            blocks,
+            xx,
+            n_head=n_head,
+            mask=m,
+            prompts=prompts_op,
+            prompt_mask=pmask,
+            n_ctx=n_ctx,
+            is_text=True,
+            causal=is_causal,
+        )
+
+    with ctx_saves:
+        if x.ndim == 3:
+            from mudpt_tpu.parallel.mesh import shard_rows
+
+            x = shard_rows(mesh_ctx, "model", tower, x, p["blocks"], prompts, mask)
+        else:
+            x = tower(x, p["blocks"], prompts, mask)
     x = layer_norm(p["ln_final"], x)
     pooled = jnp.take_along_axis(x, eot_idx[:, None, None], axis=1)[:, 0]
     return jnp.dot(pooled, p["projection"].astype(pooled.dtype))

@@ -55,6 +55,7 @@ def vit_forward(
     layer0_prompt: Optional[jax.Array] = None,
     deep_prompts: Optional[jax.Array] = None,
     return_tokens: bool = False,
+    mesh_ctx=None,
 ):
     """Full vision tower: images (B, H, W, 3) -> features (B, embed_dim).
 
@@ -85,15 +86,25 @@ def vit_forward(
     num_layers = jax.tree_util.tree_leaves(p["blocks"])[0].shape[0]
     n_ctx = deep_prompts.shape[-2] if deep_prompts is not None else 0
     prompts, mask = make_injection_schedule(num_layers, deep_prompts)
-    x = transformer_forward(
-        p["blocks"],
-        x,
-        n_head=n_head,
-        prompts=prompts,
-        prompt_mask=mask,
-        n_ctx=n_ctx,
-        is_text=False,
-    )
+
+    # may run per-shard over the mesh's 'data' (batch) axis — pallas custom
+    # calls are not SPMD-partitionable, so without shard_map a multi-chip
+    # mesh ALL-GATHERS the full batch onto every device
+    # (parallel/mesh.shard_rows)
+    def tower(xx, blocks, prompts_op):
+        return transformer_forward(
+            blocks,
+            xx,
+            n_head=n_head,
+            prompts=prompts_op,
+            prompt_mask=mask,
+            n_ctx=n_ctx,
+            is_text=False,
+        )
+
+    from mudpt_tpu.parallel.mesh import shard_rows
+
+    x = shard_rows(mesh_ctx, "data", tower, x, p["blocks"], prompts)
 
     pooled = layer_norm(p["ln_post"], x[:, 0])
     feats = jnp.dot(pooled, p["proj"].astype(pooled.dtype))

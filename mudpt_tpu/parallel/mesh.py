@@ -85,6 +85,47 @@ def build_mesh(cfg=None, devices=None) -> MeshContext:
     return MeshContext(Mesh(arr, ("data", "model")))
 
 
+def shard_rows(ctx: Optional[MeshContext], axis_name: str, fn, x, *replicated):
+    """Run ``fn(x, *replicated)`` with x's leading axis sharded over
+    ``axis_name`` via ``shard_map``.
+
+    Pallas custom calls are not SPMD-partitionable: under plain ``jit`` the
+    partitioner ALL-GATHERS their operands onto every device and
+    replicates the output (measured: a batch-sharded pallas_call compiles
+    to 4 all-gathers on an 8-device mesh — tests/test_shard_rows.py pins
+    both directions), so the fused-block towers would stop scaling past
+    one chip.  ``shard_map`` runs the tower body once per shard: the row
+    axis (image batch / class rows) is embarrassingly parallel, and the
+    replicated operands (frozen block params, deep prompts, masks) ride in
+    as ``P()`` — shard_map's transpose inserts the psum of their
+    cotangents, which is exactly the cross-shard prompt-gradient reduction
+    data parallelism needs.
+
+    Falls back to a plain call whenever the wrap is pointless or invalid:
+    no mesh, the axis spans one device, the rows don't divide the axis, or
+    the XLA block impl is active (XLA partitions its own HLO natively).
+    """
+    if ctx is None:
+        return fn(x, *replicated)
+    size = ctx.mesh.shape.get(axis_name, 1)
+    if size <= 1 or x.shape[0] % size != 0:
+        return fn(x, *replicated)
+    from mudpt_tpu.models.layers import resolve_block_impl
+
+    if resolve_block_impl() != "pallas":
+        return fn(x, *replicated)
+    from jax import shard_map
+
+    in_specs = (P(axis_name),) + tuple(P() for _ in replicated)
+    return shard_map(
+        fn,
+        mesh=ctx.mesh,
+        in_specs=in_specs,
+        out_specs=P(axis_name),
+        check_vma=False,
+    )(x, *replicated)
+
+
 def shard_batch(ctx: MeshContext, batch: dict, host_local: bool = False) -> dict:
     """Pad the batch to a multiple of n_data and shard it on the data axis.
 

@@ -182,6 +182,11 @@ class TrainerBase:
 
         Contract: forward(tr, fz, aux, img) == image_fn(tr, fz, aux, img,
         text_fn(tr, fz, aux)) — pinned by tests/test_trainers.py."""
+        # thread the mesh so the pallas towers can shard_map their rows
+        # (batch on 'data', class rows on 'model') — without it a
+        # multi-chip mesh all-gathers every pallas operand
+        # (parallel/mesh.shard_rows)
+        kw.setdefault("mesh_ctx", self.mesh)
         self.forward = functools.partial(forward_fn, **kw)
         if text_fn is not None:
             self.forward_text = functools.partial(text_fn, **kw)

@@ -65,8 +65,13 @@ def _resolve_chunk(chunk: int, batch: int, n_cls: int, padded_seq: int = 80) -> 
 
 
 def cocoop_forward(trainable, frozen, aux, images, *, clip_cfg, compute_dtype,
-                   encode_chunk: int = -1):
-    img = encode_image(frozen, images, clip_cfg, compute_dtype=compute_dtype)
+                   encode_chunk: int = -1, mesh_ctx=None):
+    # the image tower shards its batch rows; the vmap'd per-instance text
+    # encode stays un-shard_map'ed (shard_map under vmap is unsupported) —
+    # multi-chip CoCoOp relies on XLA propagation for the text direction
+    img = encode_image(
+        frozen, images, clip_cfg, compute_dtype=compute_dtype, mesh_ctx=mesh_ctx
+    )
     img = img.astype(jnp.float32)
     img = img / jnp.linalg.norm(img, axis=-1, keepdims=True)  # (B, D)
 
@@ -201,4 +206,5 @@ class CoCoOp(TrainerBase):
             clip_cfg=clip_cfg,
             compute_dtype=self.compute_dtype,
             encode_chunk=getattr(hp, "ENCODE_CHUNK", 0),
+            mesh_ctx=self.mesh,
         )

@@ -38,7 +38,7 @@ from mudpt_tpu.utils.rng import new_rng
 import jax
 
 
-def mudpt_text_features(trainable, frozen, aux, *, clip_cfg, compute_dtype):
+def mudpt_text_features(trainable, frozen, aux, *, clip_cfg, compute_dtype, mesh_ctx=None):
     # v2t direction of the cross-modal synthesis (reference mudpt.py:175)
     ctx = trainable["ctx"]                                # (n_ctx, 512)
     deep = trainable["deep_prompts"]                      # (d-1, n_ctx, 512)
@@ -51,12 +51,13 @@ def mudpt_text_features(trainable, frozen, aux, *, clip_cfg, compute_dtype):
         prompts.astype(compute_dtype),
         aux["eot_idx"],
         n_head=clip_cfg.transformer_heads,
+        mesh_ctx=mesh_ctx,
         deep_prompts=text_deep,
     )
 
 
 def mudpt_image_logits(
-    trainable, frozen, aux, images, txt, *, clip_cfg, compute_dtype
+    trainable, frozen, aux, images, txt, *, clip_cfg, compute_dtype, mesh_ctx=None
 ):
     # t2v direction (reference mudpt.py:117-130, model.py:534-537)
     ctx = trainable["ctx"]
@@ -71,6 +72,7 @@ def mudpt_image_logits(
         images,
         clip_cfg,
         compute_dtype=compute_dtype,
+        mesh_ctx=mesh_ctx,
         layer0_prompt=layer0_visual,
         deep_prompts=visual_deep,
     )
@@ -79,8 +81,8 @@ def mudpt_image_logits(
     )
 
 
-def mudpt_forward(trainable, frozen, aux, images, *, clip_cfg, compute_dtype):
-    kw = dict(clip_cfg=clip_cfg, compute_dtype=compute_dtype)
+def mudpt_forward(trainable, frozen, aux, images, *, clip_cfg, compute_dtype, mesh_ctx=None):
+    kw = dict(clip_cfg=clip_cfg, compute_dtype=compute_dtype, mesh_ctx=mesh_ctx)
     txt = mudpt_text_features(trainable, frozen, aux, **kw)
     return mudpt_image_logits(trainable, frozen, aux, images, txt, **kw)
 

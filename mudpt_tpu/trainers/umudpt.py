@@ -27,7 +27,7 @@ from mudpt_tpu.utils.registry import TRAINER_REGISTRY
 from mudpt_tpu.utils.rng import new_rng
 
 
-def umudpt_text_features(trainable, frozen, aux, *, clip_cfg, compute_dtype):
+def umudpt_text_features(trainable, frozen, aux, *, clip_cfg, compute_dtype, mesh_ctx=None):
     ctx = trainable["ctx"]                      # (n_ctx, 512)
     deep = trainable["deep_prompts"]            # (d-1, n_ctx, 512)
     prompts = compose_prompts(ctx, aux["token_prefix"], aux["token_suffix"])
@@ -36,12 +36,13 @@ def umudpt_text_features(trainable, frozen, aux, *, clip_cfg, compute_dtype):
         prompts.astype(compute_dtype),
         aux["eot_idx"],
         n_head=clip_cfg.transformer_heads,
+        mesh_ctx=mesh_ctx,
         deep_prompts=deep,
     )
 
 
 def umudpt_image_logits(
-    trainable, frozen, aux, images, txt, *, clip_cfg, compute_dtype
+    trainable, frozen, aux, images, txt, *, clip_cfg, compute_dtype, mesh_ctx=None
 ):
     ctx = trainable["ctx"]
     deep = trainable["deep_prompts"]
@@ -56,6 +57,7 @@ def umudpt_image_logits(
         images,
         clip_cfg,
         compute_dtype=compute_dtype,
+        mesh_ctx=mesh_ctx,
         layer0_prompt=visual_prompts[0],
         deep_prompts=visual_prompts[1:],
     )
@@ -64,8 +66,8 @@ def umudpt_image_logits(
     )
 
 
-def umudpt_forward(trainable, frozen, aux, images, *, clip_cfg, compute_dtype):
-    kw = dict(clip_cfg=clip_cfg, compute_dtype=compute_dtype)
+def umudpt_forward(trainable, frozen, aux, images, *, clip_cfg, compute_dtype, mesh_ctx=None):
+    kw = dict(clip_cfg=clip_cfg, compute_dtype=compute_dtype, mesh_ctx=mesh_ctx)
     txt = umudpt_text_features(trainable, frozen, aux, **kw)
     return umudpt_image_logits(trainable, frozen, aux, images, txt, **kw)
 

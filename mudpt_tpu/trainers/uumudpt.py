@@ -27,7 +27,7 @@ from mudpt_tpu.trainers.umudpt import UMuDPT
 from mudpt_tpu.utils.registry import TRAINER_REGISTRY
 
 
-def uumudpt_text_features(trainable, frozen, aux, *, clip_cfg, compute_dtype):
+def uumudpt_text_features(trainable, frozen, aux, *, clip_cfg, compute_dtype, mesh_ctx=None):
     ctx = trainable["ctx"]
     deep = trainable["deep_prompts"]
     v_deep = trainable["visual_ctx_deep_prompts"]      # (d-1, n_ctx, 768)
@@ -43,12 +43,13 @@ def uumudpt_text_features(trainable, frozen, aux, *, clip_cfg, compute_dtype):
         prompts.astype(compute_dtype),
         aux["eot_idx"],
         n_head=clip_cfg.transformer_heads,
+        mesh_ctx=mesh_ctx,
         deep_prompts=text_deep,
     )
 
 
 def uumudpt_image_logits(
-    trainable, frozen, aux, images, txt, *, clip_cfg, compute_dtype
+    trainable, frozen, aux, images, txt, *, clip_cfg, compute_dtype, mesh_ctx=None
 ):
     ctx = trainable["ctx"]
     deep = trainable["deep_prompts"]
@@ -67,6 +68,7 @@ def uumudpt_image_logits(
         images,
         clip_cfg,
         compute_dtype=compute_dtype,
+        mesh_ctx=mesh_ctx,
         layer0_prompt=layer0_visual,
         deep_prompts=visual_deep,
     )
@@ -75,8 +77,8 @@ def uumudpt_image_logits(
     )
 
 
-def uumudpt_forward(trainable, frozen, aux, images, *, clip_cfg, compute_dtype):
-    kw = dict(clip_cfg=clip_cfg, compute_dtype=compute_dtype)
+def uumudpt_forward(trainable, frozen, aux, images, *, clip_cfg, compute_dtype, mesh_ctx=None):
+    kw = dict(clip_cfg=clip_cfg, compute_dtype=compute_dtype, mesh_ctx=mesh_ctx)
     txt = uumudpt_text_features(trainable, frozen, aux, **kw)
     return uumudpt_image_logits(trainable, frozen, aux, images, txt, **kw)
 

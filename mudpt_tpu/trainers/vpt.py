@@ -29,7 +29,7 @@ from mudpt_tpu.utils.rng import new_rng
 import jax
 
 
-def vpt_text_features(trainable, frozen, aux, *, clip_cfg, compute_dtype):
+def vpt_text_features(trainable, frozen, aux, *, clip_cfg, compute_dtype, mesh_ctx=None):
     # fixed full prompt embeddings (n_cls, 77, D): prefix+suffix are the
     # entire hand prompt — no learnable layer-0 text ctx (vpt.py:43-70)
     prompts = jnp.concatenate([aux["token_prefix"], aux["token_suffix"]], axis=1)
@@ -38,18 +38,20 @@ def vpt_text_features(trainable, frozen, aux, *, clip_cfg, compute_dtype):
         prompts.astype(compute_dtype),
         aux["eot_idx"],
         n_head=clip_cfg.transformer_heads,
+        mesh_ctx=mesh_ctx,
         deep_prompts=trainable.get("text_deep_prompts"),
     )
 
 
 def vpt_image_logits(
-    trainable, frozen, aux, images, txt, *, clip_cfg, compute_dtype
+    trainable, frozen, aux, images, txt, *, clip_cfg, compute_dtype, mesh_ctx=None
 ):
     img = encode_image(
         frozen,
         images,
         clip_cfg,
         compute_dtype=compute_dtype,
+        mesh_ctx=mesh_ctx,
         layer0_prompt=trainable.get("visual_ctx"),
         deep_prompts=trainable.get("visual_deep_prompts"),
     )
@@ -58,8 +60,8 @@ def vpt_image_logits(
     )
 
 
-def vpt_forward(trainable, frozen, aux, images, *, clip_cfg, compute_dtype):
-    kw = dict(clip_cfg=clip_cfg, compute_dtype=compute_dtype)
+def vpt_forward(trainable, frozen, aux, images, *, clip_cfg, compute_dtype, mesh_ctx=None):
+    kw = dict(clip_cfg=clip_cfg, compute_dtype=compute_dtype, mesh_ctx=mesh_ctx)
     txt = vpt_text_features(trainable, frozen, aux, **kw)
     return vpt_image_logits(trainable, frozen, aux, images, txt, **kw)
 

@@ -52,9 +52,12 @@ def _encode_templates(params, clip_cfg, classnames, templates, compute_dtype):
     return mean / np.linalg.norm(mean, axis=-1, keepdims=True)
 
 
-def _zs_inference(trainable, frozen, aux, images, *, clip_cfg, compute_dtype):
+def _zs_inference(trainable, frozen, aux, images, *, clip_cfg, compute_dtype,
+                  mesh_ctx=None):
     del trainable
-    img = encode_image(frozen, images, clip_cfg, compute_dtype=compute_dtype)
+    img = encode_image(
+        frozen, images, clip_cfg, compute_dtype=compute_dtype, mesh_ctx=mesh_ctx
+    )
     img = img.astype(jnp.float32)
     img = img / jnp.linalg.norm(img, axis=-1, keepdims=True)
     scale = jnp.exp(frozen["logit_scale"])
@@ -88,7 +91,8 @@ class ZeroshotCLIP(TrainerBase):
             trainable=None,
         )
         fwd = functools.partial(
-            _zs_inference, clip_cfg=clip_cfg, compute_dtype=self.compute_dtype
+            _zs_inference, clip_cfg=clip_cfg, compute_dtype=self.compute_dtype,
+            mesh_ctx=self.mesh,
         )
         self.forward = fwd
         self.model_inference = fwd
