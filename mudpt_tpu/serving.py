@@ -1,0 +1,305 @@
+"""AOT serving artifacts: export a trained (or zero-shot) classifier as a
+serialized StableHLO program + a params file, loadable WITHOUT any model
+code.
+
+The reference ships CLIP as TorchScript archives and loads them for
+inference (reference clip/clip.py:95-140, ``torch.jit.load``); its trained
+prompts, however, can only be served by reconstructing the full Python
+model stack.  The TPU-native equivalent is ``jax.export``: the jitted
+scoring function lowers to StableHLO once, the artifact pins the exact
+compiled semantics (including the frozen backbone math), and any host with
+JAX — CPU or TPU, no mudpt_tpu installed — can deserialize and serve it.
+
+Artifact layout (a directory):
+
+  program.jaxexport   serialized ``jax.export.Exported`` (StableHLO)
+  params.npz          flattened operand leaves (bf16 stored as uint16 views)
+  meta.json           classnames, preprocessing constants, leaf dtypes,
+                      input spec, export platforms
+
+Exported call signature: ``logits = f(*leaves, images)`` with ``images``
+a float32 ``(B, H, W, 3)`` batch, normalized with the CLIP mean/std
+recorded in ``meta.json`` (clip/clip.py:85).  The batch dimension is
+symbolic by default (``jax.export.symbolic_shape``), so ONE artifact
+serves any batch size; CoCoOp's chunked per-instance encode needs static
+shapes, so its export pins a fixed batch.
+
+Exports always lower the PORTABLE XLA block implementation
+(``set_block_impl('xla')``): Pallas/Mosaic custom calls would pin the
+artifact to a TPU of the lowering generation and reject symbolic batch
+dims.  Serving is forward-only, where XLA's own fusion is near the
+measured ceiling (docs/BENCHMARKS.md: eval MFU 0.79 is matmul-bound);
+the Pallas tier earns its keep in the training backward.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import functools
+import json
+import os
+from typing import Optional, Sequence
+
+ARTIFACT_VERSION = 1
+_PROGRAM = "program.jaxexport"
+_PARAMS = "params.npz"
+_META = "meta.json"
+
+
+@contextlib.contextmanager
+def _xla_blocks():
+    from mudpt_tpu.models import layers
+
+    prev = layers._BLOCK_IMPL
+    layers.set_block_impl("xla")
+    try:
+        yield
+    finally:
+        layers._BLOCK_IMPL = prev
+
+
+def _unmeshed(fn):
+    """Rebind a trainer-bound forward's ``mesh_ctx`` to None: serving
+    artifacts are single-device programs (replicate them for fleet
+    serving); a captured Mesh would not serialize."""
+    if isinstance(fn, functools.partial) and "mesh_ctx" in fn.keywords:
+        kw = dict(fn.keywords)
+        kw["mesh_ctx"] = None
+        return functools.partial(fn.func, *fn.args, **kw)
+    return fn
+
+
+def export_classifier(
+    path: str,
+    score_fn,
+    operands,
+    *,
+    image_shape: Sequence[int],
+    classnames: Optional[Sequence[str]] = None,
+    batch: Optional[int] = None,
+    platforms: Optional[Sequence[str]] = None,
+    extra_meta: Optional[dict] = None,
+) -> None:
+    """Export ``score_fn(operands, images) -> logits`` as a serving artifact.
+
+    ``operands`` is any pytree of arrays (params, cached text features, …);
+    ``image_shape`` is the per-image (H, W, C); ``batch=None`` exports a
+    symbolic batch dimension, an int pins it.  ``platforms`` defaults to
+    ``("cpu", "tpu")`` so the same artifact serves on either.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax import export as jexport
+
+    platforms = list(platforms or ("cpu", "tpu"))
+    leaves, treedef = jax.tree_util.tree_flatten(operands)
+
+    def flat_fn(leaf_tuple, images):
+        ops = jax.tree_util.tree_unflatten(treedef, list(leaf_tuple))
+        return score_fn(ops, images)
+
+    if batch is None:
+        (b,) = jexport.symbolic_shape("b")
+    else:
+        b = int(batch)
+    img_spec = jax.ShapeDtypeStruct((b, *image_shape), jnp.float32)
+    leaf_specs = tuple(
+        jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype) for x in leaves
+    )
+
+    with _xla_blocks():
+        exported = jexport.export(jax.jit(flat_fn), platforms=platforms)(
+            leaf_specs, img_spec
+        )
+
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, _PROGRAM), "wb") as f:
+        f.write(bytes(exported.serialize()))
+
+    arrays, dtypes = {}, []
+    for i, leaf in enumerate(leaves):
+        arr = np.asarray(leaf)
+        dtypes.append(str(arr.dtype))
+        if arr.dtype.name == "bfloat16":  # npz has no bf16: store raw bits
+            arr = arr.view(np.uint16)
+        arrays[f"leaf_{i:05d}"] = arr
+    np.savez(os.path.join(path, _PARAMS), **arrays)
+
+    from mudpt_tpu.data.transforms import CLIP_MEAN, CLIP_STD
+
+    meta = {
+        "artifact_version": ARTIFACT_VERSION,
+        "jax_version": jax.__version__,
+        "platforms": platforms,
+        "image_shape": list(image_shape),
+        "batch": batch,
+        "n_leaves": len(leaves),
+        "leaf_dtypes": dtypes,
+        "classnames": list(classnames) if classnames is not None else None,
+        "preprocess": {
+            "resize_then_center_crop": image_shape[0],
+            "mean": list(CLIP_MEAN),
+            "std": list(CLIP_STD),
+        },
+        **(extra_meta or {}),
+    }
+    with open(os.path.join(path, _META), "w") as f:
+        json.dump(meta, f, indent=1)
+
+
+def export_trainer(path: str, trainer, *, batch: Optional[int] = None,
+                   platforms: Optional[Sequence[str]] = None) -> None:
+    """Export a built trainer's inference path.
+
+    Text features are encoded ONCE at export time whenever the method's
+    prompts are image-independent (every trainer except CoCoOp — the same
+    split ``evaluate()`` uses), so the artifact's per-batch cost is the
+    vision tower plus one matmul.  CoCoOp exports its full forward (its
+    prompts are instance-conditional) and requires a pinned ``batch``.
+    """
+    n_cls = trainer.num_classes
+    ops = {
+        "trainable": trainer.trainable,
+        "frozen": trainer.frozen,
+        "aux": trainer.aux,
+    }
+    inference = getattr(trainer, "model_inference", None)
+    text_fn = getattr(trainer, "forward_text", None)
+    if inference is not None:  # ZeroshotCLIP*: text features already cached in aux
+        fn = _unmeshed(inference)
+
+        def score(o, images):
+            return fn(o["trainable"], o["frozen"], o["aux"], images)[:, :n_cls]
+
+    elif text_fn is not None:
+        ops["txt"] = text_fn(trainer.trainable, trainer.frozen, trainer.aux)
+        img_fn = _unmeshed(trainer.forward_image)
+
+        def score(o, images):
+            return img_fn(
+                o["trainable"], o["frozen"], o["aux"], images, o["txt"]
+            )[:, :n_cls]
+
+    else:  # CoCoOp: instance-conditional prompts — full forward
+        fwd = _unmeshed(trainer.forward)
+        if batch is None:
+            raise ValueError(
+                "this trainer's forward needs static shapes (per-instance "
+                "text encode); pass batch=<serving batch size>"
+            )
+
+        def score(o, images):
+            return fwd(o["trainable"], o["frozen"], o["aux"], images)[:, :n_cls]
+
+    def cast_score(o, images):
+        import jax.numpy as jnp
+
+        return score(o, images.astype(trainer.compute_dtype)).astype(jnp.float32)
+
+    res = trainer.clip_cfg.image_resolution
+    export_classifier(
+        path,
+        cast_score,
+        ops,
+        image_shape=(res, res, 3),
+        classnames=list(trainer.classnames),
+        batch=batch,
+        platforms=platforms,
+        extra_meta={"trainer": trainer.cfg.TRAINER.NAME},
+    )
+
+
+def export_zero_shot(
+    path: str,
+    clip_cfg,
+    params,
+    classnames: Sequence[str],
+    templates: Sequence[str] = ("a photo of a {}.",),
+    *,
+    batch: Optional[int] = None,
+    platforms: Optional[Sequence[str]] = None,
+) -> None:
+    """Export a template-ensembled zero-shot classifier (api.zero_shot_classifier
+    semantics: text tower encoded once at export, reference zsclip.py:105-115)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mudpt_tpu.trainers.zsclip import _encode_templates, _zs_inference
+
+    txt = np.asarray(
+        _encode_templates(
+            params, clip_cfg, list(classnames), list(templates), jnp.float32
+        )
+    )
+
+    def score(o, images):
+        return _zs_inference(
+            None, o["params"], {"text_features": o["txt"]}, images,
+            clip_cfg=clip_cfg, compute_dtype=jnp.float32,
+        )
+
+    export_classifier(
+        path,
+        score,
+        {"params": params, "txt": txt},
+        image_shape=(clip_cfg.image_resolution,) * 2 + (3,),
+        classnames=classnames,
+        batch=batch,
+        platforms=platforms,
+        extra_meta={"trainer": "zero-shot"},
+    )
+
+
+class ServingClassifier:
+    """Load and serve an exported artifact.  Needs ONLY jax + numpy — no
+    mudpt_tpu model code, no torch, no checkpoint converters."""
+
+    def __init__(self, exported, leaves, meta):
+        import jax
+
+        self._exported = exported
+        self._leaves = leaves
+        self.meta = meta
+        self.classnames = meta.get("classnames")
+        self._call = jax.jit(lambda ls, img: exported.call(ls, img))
+
+    @classmethod
+    def load(cls, path: str) -> "ServingClassifier":
+        import ml_dtypes
+        import numpy as np
+        from jax import export as jexport
+
+        with open(os.path.join(path, _META)) as f:
+            meta = json.load(f)
+        if meta["artifact_version"] > ARTIFACT_VERSION:
+            raise ValueError(
+                f"artifact version {meta['artifact_version']} is newer than "
+                f"this loader ({ARTIFACT_VERSION})"
+            )
+        with open(os.path.join(path, _PROGRAM), "rb") as f:
+            exported = jexport.deserialize(bytearray(f.read()))
+        npz = np.load(os.path.join(path, _PARAMS))
+        leaves = []
+        for i, dt in enumerate(meta["leaf_dtypes"]):
+            arr = npz[f"leaf_{i:05d}"]
+            if dt == "bfloat16":
+                arr = arr.view(ml_dtypes.bfloat16)
+            leaves.append(arr)
+        return cls(exported, tuple(leaves), meta)
+
+    def predict(self, images) -> "np.ndarray":
+        """images: float32 (B, H, W, 3), normalized per meta['preprocess'].
+        Returns float32 logits (B, n_classes)."""
+        import numpy as np
+
+        batch = self.meta.get("batch")
+        if batch is not None and len(images) != batch:
+            raise ValueError(
+                f"artifact was pinned to batch {batch}; got {len(images)}"
+            )
+        return np.asarray(self._call(self._leaves, images))
+
+
+def load(path: str) -> ServingClassifier:
+    return ServingClassifier.load(path)

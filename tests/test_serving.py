@@ -1,0 +1,211 @@
+"""AOT serving artifacts (mudpt_tpu/serving.py): jax.export round trips.
+
+The exported StableHLO program + params.npz must reproduce the trainer's
+own forward exactly, serve ANY batch size (symbolic batch dim), and load
+through a path that touches no model code — the TPU-native counterpart of
+the reference's TorchScript serving archives (reference clip/clip.py:95-140).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import mudpt_tpu.serving as serving
+
+
+def _tiny_trainer(trainer_name, tmp_path, **hp_kw):
+    from mudpt_tpu.config import default_config
+    from mudpt_tpu.trainers import build_trainer
+
+    cfg = default_config()
+    cfg.TRAINER.NAME = trainer_name
+    cfg.MODEL.BACKBONE.NAME = "test-tiny"
+    cfg.MODEL.BACKBONE.PATH = "random"
+    cfg.DATASET.NAME = "Synthetic"
+    cfg.INPUT.SIZE = (32, 32)
+    cfg.DATALOADER.TRAIN_X.BATCH_SIZE = 4
+    cfg.DATALOADER.TEST.BATCH_SIZE = 4
+    cfg.DATALOADER.NUM_WORKERS = 0
+    cfg.OPTIM.MAX_EPOCH = 1
+    cfg.OUTPUT_DIR = str(tmp_path / f"out_{trainer_name}")
+    hp = (
+        cfg.trainer_params(trainer_name)
+        if trainer_name not in ("ZeroshotCLIP", "ZeroshotCLIP2")
+        else None
+    )
+    if hp is not None:
+        if hasattr(hp, "PREC"):
+            hp.PREC = "fp32"
+        for k, v in hp_kw.items():
+            setattr(hp, k, v)
+    return build_trainer(cfg)
+
+
+def _images(n, res=32, seed=0):
+    return np.random.RandomState(seed).randn(n, res, res, 3).astype(np.float32)
+
+
+def test_export_trainer_round_trip_symbolic_batch(tmp_path):
+    """MuDPT (cached-text image_fn path): artifact == trainer forward, and
+    one artifact serves multiple batch sizes."""
+    tr = _tiny_trainer("MuDPT", tmp_path)
+    art = str(tmp_path / "artifact")
+    serving.export_trainer(art, tr, platforms=("cpu",))
+
+    assert sorted(os.listdir(art)) == ["meta.json", "params.npz", "program.jaxexport"]
+    clf = serving.load(art)
+    assert clf.classnames == list(tr.classnames)
+    assert clf.meta["trainer"] == "MuDPT"
+    assert clf.meta["preprocess"]["resize_then_center_crop"] == 32
+
+    for B in (1, 3, 8):  # symbolic batch: one program, any B
+        imgs = _images(B, seed=B)
+        got = clf.predict(imgs)
+        want = np.asarray(
+            tr.forward(tr.trainable, tr.frozen, tr.aux, imgs)
+        )[:, : tr.num_classes]
+        assert got.shape == (B, tr.num_classes)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_export_zsclip_model_inference_path(tmp_path):
+    tr = _tiny_trainer("ZeroshotCLIP", tmp_path)
+    art = str(tmp_path / "artifact")
+    serving.export_trainer(art, tr, platforms=("cpu",))
+    clf = serving.load(art)
+    imgs = _images(2)
+    got = clf.predict(imgs)
+    want = np.asarray(
+        tr.model_inference(tr.trainable, tr.frozen, tr.aux, imgs)
+    )[:, : tr.num_classes]
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_export_cocoop_requires_pinned_batch(tmp_path):
+    """CoCoOp's per-instance text encode needs static shapes: symbolic
+    batch must refuse loudly; a pinned batch exports, serves that batch,
+    and rejects any other batch size at predict."""
+    tr = _tiny_trainer("CoCoOp", tmp_path)
+    art = str(tmp_path / "artifact")
+    with pytest.raises(ValueError, match="batch"):
+        serving.export_trainer(art, tr, platforms=("cpu",))
+
+    serving.export_trainer(art, tr, batch=2, platforms=("cpu",))
+    clf = serving.load(art)
+    imgs = _images(2)
+    got = clf.predict(imgs)
+    want = np.asarray(
+        tr.forward(tr.trainable, tr.frozen, tr.aux, imgs)
+    )[:, : tr.num_classes]
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+    with pytest.raises(ValueError, match="pinned to batch 2"):
+        clf.predict(_images(3))
+
+
+def test_export_trained_weights_are_live(tmp_path):
+    """The artifact must serve the TRAINED prompts: after an optimizer step
+    the re-export differs from the fresh-init export."""
+    tr = _tiny_trainer("CoOp", tmp_path)
+    art0 = str(tmp_path / "a0")
+    serving.export_trainer(art0, tr, platforms=("cpu",))
+    tr.train()
+    art1 = str(tmp_path / "a1")
+    serving.export_trainer(art1, tr, platforms=("cpu",))
+
+    imgs = _images(2)
+    l0 = serving.load(art0).predict(imgs)
+    l1 = serving.load(art1).predict(imgs)
+    assert np.abs(l0 - l1).max() > 1e-6
+    want = np.asarray(
+        tr.forward(tr.trainable, tr.frozen, tr.aux, imgs)
+    )[:, : tr.num_classes]
+    np.testing.assert_allclose(l1, want, rtol=1e-5, atol=1e-5)
+
+
+def test_export_zero_shot_api(tmp_path):
+    """export_zero_shot == api.zero_shot_classifier scoring."""
+    import jax
+    import jax.numpy as jnp
+
+    import mudpt_tpu.api as clip
+    from mudpt_tpu.models.clip import init_clip_params
+    from mudpt_tpu.trainers.base import TINY_TEST
+
+    params = jax.device_get(init_clip_params(jax.random.PRNGKey(0), TINY_TEST))
+    classnames = ["tabby_cat", "dog", "bird"]
+    templates = ["a photo of a {}.", "a drawing of a {}."]
+    art = str(tmp_path / "zs")
+    serving.export_zero_shot(
+        art, TINY_TEST, params, classnames, templates, platforms=("cpu",)
+    )
+    clf = serving.load(art)
+    imgs = _images(4, res=TINY_TEST.image_resolution)
+    got = clf.predict(imgs)
+    classify = clip.zero_shot_classifier(
+        TINY_TEST, params, classnames, templates, compute_dtype=jnp.float32
+    )
+    np.testing.assert_allclose(got, np.asarray(classify(imgs)), rtol=1e-5, atol=1e-5)
+
+
+def test_export_cli(tmp_path):
+    """tools/export_serving.py end-to-end: same config cascade as train.py,
+    artifact loads and serves."""
+    import subprocess
+    import sys
+
+    art = str(tmp_path / "cli_artifact")
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [
+            sys.executable, "tools/export_serving.py",
+            "--trainer", "CoOp",
+            "--dataset_config", "configs/datasets/synthetic.yaml",
+            "--backbone", "test-tiny",
+            "--backbone_path", "random",
+            "--export_dir", art,
+            "--platforms", "cpu",
+            "INPUT.SIZE", "(32, 32)",
+            "TRAINER.COOP.PREC", "fp32",
+        ],
+        capture_output=True, text=True, timeout=900, env=env,
+    )
+    assert r.returncode == 0, r.stderr
+    clf = serving.load(art)
+    assert clf.meta["trainer"] == "CoOp"
+    out = clf.predict(_images(2))
+    assert out.shape == (2, len(clf.classnames))
+    assert np.isfinite(out).all()
+
+
+def test_loader_needs_no_model_code(tmp_path):
+    """serving.load + predict in a subprocess must not import any
+    mudpt_tpu.models/trainers module — the artifact is self-contained."""
+    import subprocess
+    import sys
+
+    tr = _tiny_trainer("MuDPT", tmp_path)
+    art = str(tmp_path / "artifact")
+    serving.export_trainer(art, tr, platforms=("cpu",))
+
+    code = (
+        "from mudpt_tpu.utils.platform import pin_platform_from_env\n"
+        "pin_platform_from_env()\n"  # the registered TPU plugin overrides
+        "import sys\n"               # JAX_PLATFORMS otherwise (CLAUDE.md)
+        "import numpy as np\n"
+        "import mudpt_tpu.serving as serving\n"
+        f"clf = serving.load({art!r})\n"
+        "out = clf.predict(np.zeros((2, 32, 32, 3), np.float32))\n"
+        "assert out.shape[0] == 2\n"
+        "bad = [m for m in sys.modules if m.startswith('mudpt_tpu.models')\n"
+        "       or m.startswith('mudpt_tpu.trainers')]\n"
+        "assert not bad, f'loader imported model code: {bad}'\n"
+        "print('OK', out.shape)\n"
+    )
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=600, env=env,
+    )
+    assert r.returncode == 0, r.stderr
+    assert "OK" in r.stdout

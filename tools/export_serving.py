@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Export a trained (or zero-shot) classifier as an AOT serving artifact.
+
+Builds the trainer exactly like train.py (same config cascade), optionally
+loads a trained checkpoint, then writes a ``jax.export`` StableHLO artifact
+that any JAX host can serve WITHOUT mudpt_tpu model code (see
+mudpt_tpu/serving.py — the TPU-native counterpart of the reference's
+TorchScript serving archives, reference clip/clip.py:95-140).
+
+  python tools/export_serving.py --trainer MuDPT \
+      --dataset_config configs/datasets/caltech101.yaml \
+      --dataset_root $DATA --model_dir output/... --load_epoch 10 \
+      --export_dir serving/caltech_mudpt [--batch N] [--platforms cpu tpu]
+
+Smoke-check the artifact afterwards with:
+
+  python -c "import mudpt_tpu.serving as s, numpy as np; \
+             clf = s.load('serving/caltech_mudpt'); \
+             print(clf.predict(np.zeros((2, 224, 224, 3), np.float32)).shape)"
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+sys.path.insert(0, ".")  # repo-root execution, like train.py
+
+from train import setup_config  # noqa: E402  (same cascade as training)
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--dataset_root", type=str, default="")
+    p.add_argument("--output_dir", type=str, default="")
+    p.add_argument("--seed", type=int, default=1)
+    p.add_argument("--trainer_config", type=str, default="")
+    p.add_argument("--dataset_config", type=str, default="")
+    p.add_argument("--trainer", type=str, default="")
+    p.add_argument("--backbone", type=str, default="")
+    p.add_argument("--backbone_path", type=str, default="")
+    p.add_argument("--model_dir", type=str, default="",
+                   help="trained checkpoint dir (omit for untrained/zero-shot)")
+    p.add_argument("--load_epoch", type=int, default=None)
+    p.add_argument("--export_dir", type=str, required=True)
+    p.add_argument("--batch", type=int, default=None,
+                   help="pin the serving batch (default: symbolic batch; "
+                   "CoCoOp requires a pinned batch)")
+    p.add_argument("--platforms", type=str, nargs="+", default=["cpu", "tpu"])
+    p.add_argument("opts", default=None, nargs=argparse.REMAINDER)
+    args = p.parse_args(argv)
+    if args.opts and args.opts[0] == "--":
+        args.opts = args.opts[1:]
+    return args
+
+
+def main(args) -> None:
+    cfg = setup_config(args)
+    from mudpt_tpu.serving import export_trainer
+    from mudpt_tpu.trainers import build_trainer
+    from mudpt_tpu.utils.rng import set_seed
+
+    if cfg.SEED >= 0:
+        set_seed(cfg.SEED)
+    trainer = build_trainer(cfg)
+    if args.model_dir:
+        trainer.load_model(args.model_dir, epoch=args.load_epoch)
+    export_trainer(
+        args.export_dir, trainer, batch=args.batch,
+        platforms=tuple(args.platforms),
+    )
+    print(f"Exported {cfg.TRAINER.NAME} serving artifact -> {args.export_dir}")
+
+
+if __name__ == "__main__":
+    from mudpt_tpu.utils.platform import pin_platform_from_env
+
+    pin_platform_from_env()
+    main(parse_args())
