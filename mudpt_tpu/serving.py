@@ -219,14 +219,21 @@ def export_zero_shot(
     *,
     batch: Optional[int] = None,
     platforms: Optional[Sequence[str]] = None,
+    compute_dtype=None,
 ) -> None:
     """Export a template-ensembled zero-shot classifier (api.zero_shot_classifier
-    semantics: text tower encoded once at export, reference zsclip.py:105-115)."""
+    semantics: text tower encoded once at export, reference zsclip.py:105-115).
+
+    ``compute_dtype`` sets the exported vision tower's matmul dtype:
+    float32 (the default) maximizes portability; pass ``jnp.bfloat16`` for
+    TPU serving (the backbone's production precision — drift bounds in
+    tests/test_precision_drift.py and test_fullscale_parity.py)."""
     import jax.numpy as jnp
     import numpy as np
 
     from mudpt_tpu.trainers.zsclip import _encode_templates, _zs_inference
 
+    compute_dtype = compute_dtype or jnp.float32
     txt = np.asarray(
         _encode_templates(
             params, clip_cfg, list(classnames), list(templates), jnp.float32
@@ -236,8 +243,8 @@ def export_zero_shot(
     def score(o, images):
         return _zs_inference(
             None, o["params"], {"text_features": o["txt"]}, images,
-            clip_cfg=clip_cfg, compute_dtype=jnp.float32,
-        )
+            clip_cfg=clip_cfg, compute_dtype=compute_dtype,
+        ).astype(jnp.float32)
 
     export_classifier(
         path,
@@ -259,7 +266,10 @@ class ServingClassifier:
         import jax
 
         self._exported = exported
-        self._leaves = leaves
+        # params live on device from load: passing host numpy leaves into
+        # the jitted call would re-transfer every leaf on EVERY predict
+        # (~170 MB for a bf16 ViT-B/16)
+        self._leaves = tuple(jax.device_put(x) for x in leaves)
         self.meta = meta
         self.classnames = meta.get("classnames")
         self._call = jax.jit(lambda ls, img: exported.call(ls, img))

@@ -46,17 +46,25 @@ def _images(n, res=32, seed=0):
     return np.random.RandomState(seed).randn(n, res, res, 3).astype(np.float32)
 
 
-def test_export_trainer_round_trip_symbolic_batch(tmp_path):
-    """MuDPT (cached-text image_fn path): artifact == trainer forward, and
-    one artifact serves multiple batch sizes."""
-    tr = _tiny_trainer("MuDPT", tmp_path)
+@pytest.mark.parametrize("trainer_name", ["MuDPT", "UUMuDPT", "VPT"])
+def test_export_trainer_round_trip_symbolic_batch(tmp_path, trainer_name):
+    """Cached-text image_fn path across the structurally distinct forwards
+    (MuDPT coupling, UUMuDPT's v2t LightTransformer visual residuals, VPT's
+    per-block visual_ctx): artifact == trainer forward, and one artifact
+    serves multiple batch sizes."""
+    kw = (
+        {"VISUAL_PROMPT_DEPTH": 2, "DEEP_VISUAL_N_CTX": 2}
+        if trainer_name == "VPT"
+        else {}
+    )
+    tr = _tiny_trainer(trainer_name, tmp_path, **kw)
     art = str(tmp_path / "artifact")
     serving.export_trainer(art, tr, platforms=("cpu",))
 
     assert sorted(os.listdir(art)) == ["meta.json", "params.npz", "program.jaxexport"]
     clf = serving.load(art)
     assert clf.classnames == list(tr.classnames)
-    assert clf.meta["trainer"] == "MuDPT"
+    assert clf.meta["trainer"] == trainer_name
     assert clf.meta["preprocess"]["resize_then_center_crop"] == 32
 
     for B in (1, 3, 8):  # symbolic batch: one program, any B
@@ -176,6 +184,75 @@ def test_export_cli(tmp_path):
     out = clf.predict(_images(2))
     assert out.shape == (2, len(clf.classnames))
     assert np.isfinite(out).all()
+
+
+def test_predict_cli(tmp_path):
+    """tools/predict.py: artifact + image files -> JSONL of top-k preds,
+    including the pinned-batch tail-padding path."""
+    import subprocess
+    import sys
+
+    from PIL import Image
+
+    tr = _tiny_trainer("MuDPT", tmp_path)
+    art = str(tmp_path / "artifact")
+    serving.export_trainer(art, tr, platforms=("cpu",))
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rng = np.random.RandomState(0)
+    for i in range(5):
+        Image.fromarray(
+            rng.randint(0, 255, (40, 48, 3), np.uint8)
+        ).save(img_dir / f"im{i}.jpg")
+
+    out_path = str(tmp_path / "preds.jsonl")
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [
+            sys.executable, "tools/predict.py", "--artifact", art,
+            "--image_dir", str(img_dir), "--batch", "2", "--top_k", "3",
+            "--output", out_path,
+        ],
+        capture_output=True, text=True, timeout=600, env=env,
+    )
+    assert r.returncode == 0, r.stderr
+    import json as _json
+
+    recs = [_json.loads(l) for l in open(out_path)]
+    assert len(recs) == 5
+    n_cls = len(tr.classnames)
+    for rec in recs:
+        assert 0 <= rec["pred"] < n_cls
+        assert len(rec["top_k"]) == 3
+        assert rec["top_k"][0]["label"] == rec["pred"]
+        assert rec["top_k"][0]["classname"] in tr.classnames
+        probs = [t["prob"] for t in rec["top_k"]]
+        assert probs == sorted(probs, reverse=True)
+
+    # pinned-batch artifact: 5 images through batch 2 exercises tail padding
+    art2 = str(tmp_path / "artifact_pinned")
+    serving.export_trainer(art2, _tiny_trainer("CoCoOp", tmp_path),
+                           batch=2, platforms=("cpu",))
+    r = subprocess.run(
+        [
+            sys.executable, "tools/predict.py", "--artifact", art2,
+            "--image_dir", str(img_dir), "--output", out_path,
+        ],
+        capture_output=True, text=True, timeout=600, env=env,
+    )
+    assert r.returncode == 0, r.stderr
+    assert len(open(out_path).readlines()) == 5
+    # requesting a batch the pinned program cannot serve fails loudly
+    r = subprocess.run(
+        [
+            sys.executable, "tools/predict.py", "--artifact", art2,
+            "--image_dir", str(img_dir), "--batch", "4",
+        ],
+        capture_output=True, text=True, timeout=600, env=env,
+    )
+    assert r.returncode != 0
+    assert "pinned batch" in r.stderr
 
 
 def test_loader_needs_no_model_code(tmp_path):
