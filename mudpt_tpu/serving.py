@@ -24,12 +24,11 @@ symbolic by default (``jax.export.symbolic_shape``), so ONE artifact
 serves any batch size; CoCoOp's chunked per-instance encode needs static
 shapes, so its export pins a fixed batch.
 
-Exports always lower the PORTABLE XLA block implementation
-(``set_block_impl('xla')``): Pallas/Mosaic custom calls would pin the
-artifact to a TPU of the lowering generation and reject symbolic batch
-dims.  Serving is forward-only, where XLA's own fusion is near the
-measured ceiling (docs/BENCHMARKS.md: eval MFU 0.79 is matmul-bound);
-the Pallas tier earns its keep in the training backward.
+Exports default to the PORTABLE XLA block implementation
+(``set_block_impl('xla')``): Mosaic custom calls would make the artifact
+TPU-only and reject symbolic batch dims.  ``block_impl='pallas'`` opts
+into embedding the fused kernels for a TPU-only, pinned-batch artifact —
+measured 2.3x the XLA forward on-chip (docs/BENCHMARKS.md session 4).
 """
 
 from __future__ import annotations
@@ -47,15 +46,22 @@ _META = "meta.json"
 
 
 @contextlib.contextmanager
-def _xla_blocks():
+def _block_impl(name: str):
     from mudpt_tpu.models import layers
 
     prev = layers._BLOCK_IMPL
-    layers.set_block_impl("xla")
+    prev_hint = layers._PLATFORM_HINT
+    layers.set_block_impl(name)
+    if name == "pallas":
+        # the kernels lower in interpret mode unless the target platform is
+        # TPU (ops/fused_block._interpret); a pallas artifact must embed the
+        # real Mosaic custom calls even when exported from a CPU host
+        layers.set_platform_hint("tpu")
     try:
         yield
     finally:
         layers._BLOCK_IMPL = prev
+        layers.set_platform_hint(prev_hint)
 
 
 def _unmeshed(fn):
@@ -79,6 +85,7 @@ def export_classifier(
     batch: Optional[int] = None,
     platforms: Optional[Sequence[str]] = None,
     extra_meta: Optional[dict] = None,
+    block_impl: str = "xla",
 ) -> None:
     """Export ``score_fn(operands, images) -> logits`` as a serving artifact.
 
@@ -86,12 +93,33 @@ def export_classifier(
     ``image_shape`` is the per-image (H, W, C); ``batch=None`` exports a
     symbolic batch dimension, an int pins it.  ``platforms`` defaults to
     ``("cpu", "tpu")`` so the same artifact serves on either.
+
+    ``block_impl='pallas'`` embeds the fused Mosaic kernels (the
+    ``tpu_custom_call`` target carries jax.export's compatibility
+    guarantee) — measured 2.3x the portable XLA forward on-chip
+    (docs/BENCHMARKS.md session 4) — at the price of a TPU-only artifact
+    and a pinned batch (Mosaic grids need static shapes).
     """
     import jax
     import jax.numpy as jnp
     import numpy as np
     from jax import export as jexport
 
+    if block_impl == "pallas":
+        if platforms is None:
+            platforms = ("tpu",)
+        if list(platforms) != ["tpu"]:
+            raise ValueError(
+                "block_impl='pallas' artifacts are TPU-only; pass "
+                "platforms=('tpu',) (the Mosaic kernels have no CPU lowering)"
+            )
+        if batch is None:
+            raise ValueError(
+                "block_impl='pallas' needs a pinned batch (Mosaic grids are "
+                "static); pass batch=<serving batch size>"
+            )
+    elif block_impl != "xla":
+        raise ValueError(f"block_impl must be 'xla' or 'pallas', got {block_impl!r}")
     platforms = list(platforms or ("cpu", "tpu"))
     leaves, treedef = jax.tree_util.tree_flatten(operands)
 
@@ -108,7 +136,7 @@ def export_classifier(
         jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype) for x in leaves
     )
 
-    with _xla_blocks():
+    with _block_impl(block_impl):
         exported = jexport.export(jax.jit(flat_fn), platforms=platforms)(
             leaf_specs, img_spec
         )
@@ -132,6 +160,7 @@ def export_classifier(
         "artifact_version": ARTIFACT_VERSION,
         "jax_version": jax.__version__,
         "platforms": platforms,
+        "block_impl": block_impl,
         "image_shape": list(image_shape),
         "batch": batch,
         "n_leaves": len(leaves),
@@ -149,7 +178,8 @@ def export_classifier(
 
 
 def export_trainer(path: str, trainer, *, batch: Optional[int] = None,
-                   platforms: Optional[Sequence[str]] = None) -> None:
+                   platforms: Optional[Sequence[str]] = None,
+                   block_impl: str = "xla") -> None:
     """Export a built trainer's inference path.
 
     Text features are encoded ONCE at export time whenever the method's
@@ -207,6 +237,7 @@ def export_trainer(path: str, trainer, *, batch: Optional[int] = None,
         batch=batch,
         platforms=platforms,
         extra_meta={"trainer": trainer.cfg.TRAINER.NAME},
+        block_impl=block_impl,
     )
 
 
@@ -220,6 +251,7 @@ def export_zero_shot(
     batch: Optional[int] = None,
     platforms: Optional[Sequence[str]] = None,
     compute_dtype=None,
+    block_impl: str = "xla",
 ) -> None:
     """Export a template-ensembled zero-shot classifier (api.zero_shot_classifier
     semantics: text tower encoded once at export, reference zsclip.py:105-115).
@@ -255,6 +287,7 @@ def export_zero_shot(
         batch=batch,
         platforms=platforms,
         extra_meta={"trainer": "zero-shot"},
+        block_impl=block_impl,
     )
 
 

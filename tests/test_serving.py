@@ -131,6 +131,38 @@ def test_export_trained_weights_are_live(tmp_path):
     np.testing.assert_allclose(l1, want, rtol=1e-5, atol=1e-5)
 
 
+def test_export_pallas_artifact_validation_and_lowering(tmp_path):
+    """block_impl='pallas': TPU-only + pinned batch enforced; the exported
+    program embeds real Mosaic custom calls (tpu_custom_call is in
+    jax.export's guaranteed-stable target set), NOT the interpret-mode
+    fallback a CPU host would otherwise lower."""
+    tr = _tiny_trainer("MuDPT", tmp_path)
+    art = str(tmp_path / "artifact")
+    with pytest.raises(ValueError, match="TPU-only"):
+        serving.export_trainer(art, tr, batch=4, block_impl="pallas",
+                               platforms=("cpu",))
+    with pytest.raises(ValueError, match="pinned batch"):
+        serving.export_trainer(art, tr, block_impl="pallas")
+
+    serving.export_trainer(art, tr, batch=4, block_impl="pallas")
+    import json as _json
+
+    meta = _json.load(open(os.path.join(art, "meta.json")))
+    assert meta["block_impl"] == "pallas"
+    assert meta["platforms"] == ["tpu"]
+    blob = open(os.path.join(art, "program.jaxexport"), "rb").read()
+    assert b"tpu_custom_call" in blob  # Mosaic kernels, not interpret mode
+
+    # the CPU-pinned test process must NOT be able to run it...
+    clf = serving.load(art)
+    with pytest.raises(Exception, match="platform|cpu|tpu"):
+        clf.predict(_images(4))
+    # ...and the export must not have leaked the forced block impl/hint
+    from mudpt_tpu.models import layers
+
+    assert layers.resolve_block_impl() == "xla"
+
+
 def test_export_zero_shot_api(tmp_path):
     """export_zero_shot == api.zero_shot_classifier scoring."""
     import jax

@@ -46,7 +46,10 @@ def parse_args(argv=None):
     p.add_argument("--batch", type=int, default=None,
                    help="pin the serving batch (default: symbolic batch; "
                    "CoCoOp requires a pinned batch)")
-    p.add_argument("--platforms", type=str, nargs="+", default=["cpu", "tpu"])
+    p.add_argument("--platforms", type=str, nargs="+", default=None)
+    p.add_argument("--block_impl", choices=["xla", "pallas"], default="xla",
+                   help="pallas: embed the fused Mosaic kernels (2.3x the "
+                   "XLA forward on-chip) — TPU-only artifact, needs --batch")
     p.add_argument("opts", default=None, nargs=argparse.REMAINDER)
     args = p.parse_args(argv)
     if args.opts and args.opts[0] == "--":
@@ -67,7 +70,8 @@ def main(args) -> None:
         trainer.load_model(args.model_dir, epoch=args.load_epoch)
     export_trainer(
         args.export_dir, trainer, batch=args.batch,
-        platforms=tuple(args.platforms),
+        platforms=tuple(args.platforms) if args.platforms else None,
+        block_impl=args.block_impl,
     )
     print(f"Exported {cfg.TRAINER.NAME} serving artifact -> {args.export_dir}")
 
