@@ -112,6 +112,10 @@ def main() -> None:
                     "with host->device prefetch (the BASELINE.json north-star "
                     "pipeline), reporting the H2D ceiling alongside.")
     ap.add_argument("--n-jpegs", type=int, default=2048)
+    ap.add_argument("--quant", choices=["none", "int8"], default="none",
+                    help="eval-mode only: post-training W8A8 quantization "
+                    "of the block projection matmuls (ops/quant_block.py; "
+                    "MXU int8 is 2x the bf16 rate on v5e)")
     ap.add_argument("--mode", choices=["train", "eval"], default="train",
                     help="train: the headline train-step bench. eval: the "
                     "inference/serving path (argmax eval step), reporting "
@@ -122,6 +126,9 @@ def main() -> None:
     # accelerator probe: a bad flag combination must fail immediately
     if args.mode == "eval" and args.input != "resident":
         ap.error("--mode eval supports --input resident only")
+    if args.quant != "none" and args.mode != "eval":
+        ap.error("--quant is inference-only; use with --mode eval "
+                 "(the quantized blocks have no backward)")
     if args.input != "resident" and args.batch > args.n_jpegs:
         # fail BEFORE the multi-minute graph build: tfdata would yield ZERO
         # batches (drop_remainder) and the bench's batch cycler would spin
@@ -230,6 +237,10 @@ def _run_eval(args) -> None:
     from mudpt_tpu.models.transformer import set_remat_mode
 
     set_remat_mode("none")
+    if args.quant != "none":
+        from mudpt_tpu.models.layers import set_quant_mode
+
+        set_quant_mode(args.quant)
 
     import numpy as np
 
@@ -271,11 +282,14 @@ def _run_eval(args) -> None:
         clip_cfg.vision_width, args.batch,
     )
     peak = float(os.environ.get("TPU_PEAK_FLOPS", 197e12))  # v5e bf16
+    if args.quant == "int8":
+        peak *= 2  # v5e MXU int8 rate (394 TOPS); MFU against the int8 peak
     print(
         json.dumps(
             {
                 "metric": (
-                    f"MuDPT {args.model} inference throughput (bf16, batch "
+                    f"MuDPT {args.model} inference throughput "
+                    f"({'int8' if args.quant == 'int8' else 'bf16'}, batch "
                     f"{args.batch}, n_cls {args.n_cls}, cached text features)"
                 ),
                 "value": round(ips_cached, 2),

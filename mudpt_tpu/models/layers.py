@@ -138,6 +138,23 @@ def resolve_block_impl() -> str:
     return _BLOCK_IMPL
 
 
+# Post-training quantization mode for the INFERENCE forward ('none' |
+# 'int8').  int8 runs every block's projection matmuls as s8 x s8 -> s32
+# on the MXU (2x the bf16 rate on v5e) — serving/eval only, the quantized
+# blocks raise under differentiation (ops/quant_block.py).
+_QUANT_MODE = os.environ.get("MUDPT_TPU_QUANT", "none")
+
+
+def set_quant_mode(name: str) -> None:
+    assert name in ("none", "int8"), name
+    global _QUANT_MODE
+    _QUANT_MODE = name
+
+
+def quant_mode() -> str:
+    return _QUANT_MODE
+
+
 def residual_block(p, x: jax.Array, n_head: int, mask=None, causal=False) -> jax.Array:
     """One pre-LN residual block (reference clip/model.py:177-198)."""
     # Pallas half-block kernels hold weights + intermediates in VMEM; both
@@ -147,6 +164,24 @@ def residual_block(p, x: jax.Array, n_head: int, mask=None, causal=False) -> jax
     # (ops/fused_block.mlp_halfblock_chunked, fully tested) is the starting
     # point if such a tower ever needs the fused path.
     D = x.shape[-1]
+    if _QUANT_MODE == "int8":
+        # quantized serving tier: int8 is only implemented in the Pallas
+        # layer kernel — refuse to silently fall back to an unquantized
+        # path the caller did not ask for
+        if not (
+            resolve_block_impl() == "pallas"
+            and (mask is None or causal)
+            and D <= 1024
+        ):
+            raise ValueError(
+                "quant mode 'int8' requires the Pallas block impl (causal "
+                f"or unmasked attention, width <= 1024; got impl="
+                f"{resolve_block_impl()!r}, D={D}); set_quant_mode('none') "
+                "or set_block_impl('pallas')"
+            )
+        from mudpt_tpu.ops.quant_block import residual_block_q8
+
+        return residual_block_q8(p, x, n_head, causal)
     if resolve_block_impl() == "pallas" and (mask is None or causal) and D <= 1024:
         from mudpt_tpu.ops.fused_block import (
             attn_halfblock,

@@ -1,0 +1,189 @@
+"""Int8 (W8A8) fused transformer-layer forward kernel — serving tier.
+
+Post-training quantization of the frozen CLIP backbone for INFERENCE:
+the four projection matmuls of every block (QKV, attention out, MLP fc,
+MLP proj — ~92% of forward MACs) run as s8 x s8 -> s32 on the MXU, whose
+int8 rate is 2x the bf16 rate on v5e (394 vs 197 T-op/s).  Everything
+numerically delicate stays in fp32 on the VPU: LayerNorm, softmax,
+QuickGELU, and all dequantization arithmetic; the per-head score/PV
+contractions (~8% of MACs) stay bf16 — quantizing them would put the
+softmax input behind two quantization steps for almost no MAC coverage.
+
+Quantization scheme (the standard dynamic W8A8 recipe):
+  * weights: symmetric per-OUTPUT-CHANNEL int8, scales fp32 — computed
+    from the bf16 weights by :func:`quantize_cols` (traced jnp, fused by
+    XLA; cost is one weight read, ~1/400 of a forward at S=197).
+  * activations: symmetric per-TOKEN (row) dynamic int8, computed
+    in-kernel from the fp32 LN/GELU outputs the kernel already has.
+  * accumulate s32, dequantize fp32: out = acc * row_scale * col_scale.
+
+These ops are **forward-only**: the backward raises.  Training stays
+bf16 (ops/fused_block.py); this tier serves `bench.py --mode eval
+--quant int8` and `serving.export_* (block_impl='pallas_int8')`.
+
+Reference correspondence: the reference has no quantized path (its
+inference runs the fp16 CUDA forward, clip/model.py:857-878); this is a
+TPU-native capability addition measured against the repo's own bf16
+serving numbers (docs/BENCHMARKS.md).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mudpt_tpu.ops.fused_block import (
+    _COMPILER_PARAMS,
+    _full,
+    _interpret,
+    _ln_fp32,
+    _mha_acc,
+    _quick_gelu,
+    _row,
+    _row_spec_of,
+)
+
+
+def quantize_cols(w: jax.Array):
+    """Symmetric per-output-channel int8 quantization of a (Din, Dout)
+    weight.  Returns (int8 weight, fp32 (1, Dout) scale)."""
+    w32 = w.astype(jnp.float32)
+    s = jnp.max(jnp.abs(w32), axis=0, keepdims=True) / 127.0
+    s = jnp.maximum(s, 1e-8)
+    q = jnp.clip(jnp.round(w32 / s), -127.0, 127.0).astype(jnp.int8)
+    return q, s
+
+
+def _quant_rows(x32):
+    """Symmetric per-row dynamic int8: fp32 (S, X) -> (int8 (S, X),
+    fp32 (S, 1) scale)."""
+    s = jnp.max(jnp.abs(x32), axis=-1, keepdims=True) / 127.0
+    s = jnp.maximum(s, 1e-8)
+    q = jnp.clip(jnp.round(x32 / s), -127.0, 127.0).astype(jnp.int8)
+    return q, s
+
+
+def _q8_matmul(xq, xs, wq, ws, b):
+    """s8 x s8 -> s32 MXU matmul, fp32 dequant + bias: (S, Dout) fp32."""
+    acc = jax.lax.dot_general(
+        xq, wq[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    out = acc.astype(jnp.float32) * xs * ws[...]
+    return out + b[...].astype(jnp.float32)
+
+
+def _layer_fwd_q8_kernel(
+    x_ref,
+    ln1_s, ln1_b, qkv_wq, qkv_ws, qkv_b, out_wq, out_ws, out_b,
+    ln2_s, ln2_b, fc_wq, fc_ws, fc_b, proj_wq, proj_ws, proj_b,
+    y_ref, acc_ref, *, n_head, causal,
+):
+    x = x_ref[0]
+    # ---- attention half: x1 = x + out(MHA(LN1(x))) ----
+    xn, _, _ = _ln_fp32(x, ln1_s[...], ln1_b[...])
+    xq, xs = _quant_rows(xn)
+    qkv = _q8_matmul(xq, xs, qkv_wq, qkv_ws, qkv_b).astype(x.dtype)
+    _mha_acc(qkv, acc_ref, n_head=n_head, causal=causal, act_dtype=x.dtype)
+    aq, a_s = _quant_rows(acc_ref[...])
+    x1 = x + _q8_matmul(aq, a_s, out_wq, out_ws, out_b).astype(x.dtype)
+    # ---- mlp half: y = x1 + proj(QuickGELU(fc(LN2(x1)))) ----
+    x2n, _, _ = _ln_fp32(x1, ln2_s[...], ln2_b[...])
+    x2q, x2s = _quant_rows(x2n)
+    h = _q8_matmul(x2q, x2s, fc_wq, fc_ws, fc_b)          # fp32 (S, 4D)
+    g = _quick_gelu(h)                                     # fp32 VPU
+    gq, gs = _quant_rows(g)
+    y_ref[0] = x1 + _q8_matmul(gq, gs, proj_wq, proj_ws, proj_b).astype(
+        x.dtype
+    )
+
+
+def _spec_of(a):
+    return _full(*a.shape)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(17, 18))
+def layer_fullblock_q8(
+    x,
+    ln1_s, ln1_b, qkv_wq, qkv_ws, qkv_b, out_wq, out_ws, out_b,
+    ln2_s, ln2_b, fc_wq, fc_ws, fc_b, proj_wq, proj_ws, proj_b,
+    n_head: int, causal=False,
+):
+    """One full pre-LN residual layer, int8 projections (see module doc).
+
+    ``x`` (B, S, D) bf16; ``*_wq`` int8 weights + ``*_ws`` fp32 (1, Dout)
+    scales from :func:`quantize_cols`; LN params and biases unquantized.
+    Inference-only: differentiation raises NotImplementedError.
+    """
+    B, S, D = x.shape
+    params = (
+        ln1_s, ln1_b, qkv_wq, qkv_ws, qkv_b, out_wq, out_ws, out_b,
+        ln2_s, ln2_b, fc_wq, fc_ws, fc_b, proj_wq, proj_ws, proj_b,
+    )
+    specs = [_row(S, D)] + [_spec_of(p) for p in params]
+    out_shape = jax.ShapeDtypeStruct((B, S, D), x.dtype)
+    return pl.pallas_call(
+        functools.partial(
+            _layer_fwd_q8_kernel, n_head=n_head, causal=causal
+        ),
+        grid=(B,),
+        in_specs=specs,
+        out_specs=_row_spec_of(out_shape),
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((S, D), jnp.float32)],
+        compiler_params=_COMPILER_PARAMS,
+        interpret=_interpret(),
+    )(x, *params)
+
+
+def _q8_fwd_vjp(
+    x,
+    ln1_s, ln1_b, qkv_wq, qkv_ws, qkv_b, out_wq, out_ws, out_b,
+    ln2_s, ln2_b, fc_wq, fc_ws, fc_b, proj_wq, proj_ws, proj_b,
+    n_head, causal,
+):
+    y = layer_fullblock_q8(
+        x,
+        ln1_s, ln1_b, qkv_wq, qkv_ws, qkv_b, out_wq, out_ws, out_b,
+        ln2_s, ln2_b, fc_wq, fc_ws, fc_b, proj_wq, proj_ws, proj_b,
+        n_head, causal,
+    )
+    return y, None
+
+
+def _q8_bwd(n_head, causal, res, g):
+    raise NotImplementedError(
+        "int8 quantized blocks are inference-only (serving/eval); train "
+        "with the bf16 Pallas tier (unset quant mode / MUDPT_TPU_QUANT)"
+    )
+
+
+layer_fullblock_q8.defvjp(_q8_fwd_vjp, _q8_bwd)
+
+
+def residual_block_q8(p, x: jax.Array, n_head: int, causal=False) -> jax.Array:
+    """Quantize a block's projection weights per-channel (traced; XLA
+    fuses and the cost is one weight read) and run the int8 layer kernel.
+
+    Drop-in for models/layers.residual_block under quant mode: same param
+    pytree, same (B, S, D) contract; prompts ride through ``x`` so the
+    splice machinery is untouched.
+    """
+    qkv_wq, qkv_ws = quantize_cols(p["attn"]["qkv_w"])
+    out_wq, out_ws = quantize_cols(p["attn"]["out_w"])
+    fc_wq, fc_ws = quantize_cols(p["mlp"]["fc_w"])
+    proj_wq, proj_ws = quantize_cols(p["mlp"]["proj_w"])
+    return layer_fullblock_q8(
+        x,
+        p["ln_1"]["scale"], p["ln_1"]["bias"],
+        qkv_wq, qkv_ws, p["attn"]["qkv_b"],
+        out_wq, out_ws, p["attn"]["out_b"],
+        p["ln_2"]["scale"], p["ln_2"]["bias"],
+        fc_wq, fc_ws, p["mlp"]["fc_b"],
+        proj_wq, proj_ws, p["mlp"]["proj_b"],
+        n_head, causal,
+    )

@@ -51,17 +51,22 @@ def _block_impl(name: str):
 
     prev = layers._BLOCK_IMPL
     prev_hint = layers._PLATFORM_HINT
-    layers.set_block_impl(name)
-    if name == "pallas":
+    prev_quant = layers.quant_mode()
+    if name.startswith("pallas"):
+        layers.set_block_impl("pallas")
         # the kernels lower in interpret mode unless the target platform is
         # TPU (ops/fused_block._interpret); a pallas artifact must embed the
         # real Mosaic custom calls even when exported from a CPU host
         layers.set_platform_hint("tpu")
+        layers.set_quant_mode("int8" if name == "pallas_int8" else "none")
+    else:
+        layers.set_block_impl(name)
     try:
         yield
     finally:
         layers._BLOCK_IMPL = prev
         layers.set_platform_hint(prev_hint)
+        layers.set_quant_mode(prev_quant)
 
 
 def _unmeshed(fn):
@@ -99,27 +104,33 @@ def export_classifier(
     guarantee) — measured 2.3x the portable XLA forward on-chip
     (docs/BENCHMARKS.md session 4) — at the price of a TPU-only artifact
     and a pinned batch (Mosaic grids need static shapes).
+    ``block_impl='pallas_int8'`` additionally quantizes every block's
+    projection matmuls W8A8 (ops/quant_block.py — the MXU's int8 rate is
+    2x bf16 on v5e); same TPU-only + pinned-batch constraints.
     """
     import jax
     import jax.numpy as jnp
     import numpy as np
     from jax import export as jexport
 
-    if block_impl == "pallas":
+    if block_impl in ("pallas", "pallas_int8"):
         if platforms is None:
             platforms = ("tpu",)
         if list(platforms) != ["tpu"]:
             raise ValueError(
-                "block_impl='pallas' artifacts are TPU-only; pass "
+                f"block_impl={block_impl!r} artifacts are TPU-only; pass "
                 "platforms=('tpu',) (the Mosaic kernels have no CPU lowering)"
             )
         if batch is None:
             raise ValueError(
-                "block_impl='pallas' needs a pinned batch (Mosaic grids are "
-                "static); pass batch=<serving batch size>"
+                f"block_impl={block_impl!r} needs a pinned batch (Mosaic "
+                "grids are static); pass batch=<serving batch size>"
             )
     elif block_impl != "xla":
-        raise ValueError(f"block_impl must be 'xla' or 'pallas', got {block_impl!r}")
+        raise ValueError(
+            "block_impl must be 'xla', 'pallas', or 'pallas_int8', "
+            f"got {block_impl!r}"
+        )
     platforms = list(platforms or ("cpu", "tpu"))
     leaves, treedef = jax.tree_util.tree_flatten(operands)
 

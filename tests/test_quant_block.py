@@ -1,0 +1,136 @@
+"""Int8 (W8A8) serving tier (interpret mode on CPU): per-channel weight
+quantization numerics, q8 layer forward against the fp32 reference block,
+the residual_block quant-mode dispatch, and the inference-only guard."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mudpt_tpu.models import layers as L
+from mudpt_tpu.models.layers import attention, layer_norm, mlp
+from mudpt_tpu.ops import quant_block as QB
+
+
+def _params(rng, D):
+    mk = lambda *s: jnp.asarray(rng.randn(*s) * 0.05, jnp.float32)
+    return {
+        "ln_1": {"scale": jnp.asarray(rng.rand(D) + 0.5, jnp.float32),
+                 "bias": mk(D)},
+        "attn": {"qkv_w": mk(D, 3 * D), "qkv_b": mk(3 * D),
+                 "out_w": mk(D, D), "out_b": mk(D)},
+        "ln_2": {"scale": jnp.asarray(rng.rand(D) + 0.5, jnp.float32),
+                 "bias": mk(D)},
+        "mlp": {"fc_w": mk(D, 4 * D), "fc_b": mk(4 * D),
+                "proj_w": mk(4 * D, D), "proj_b": mk(D)},
+    }
+
+
+def _ref_layer(p, x, H, mask=None):
+    x = x + attention(p["attn"], layer_norm(p["ln_1"], x), H, mask)
+    return x + mlp(p["mlp"], layer_norm(p["ln_2"], x))
+
+
+def test_quantize_cols_numerics():
+    """Per-output-channel symmetric int8: exact vs the numpy model, and
+    the dequantized weight within half an LSB of the original."""
+    rng = np.random.RandomState(0)
+    w = rng.randn(48, 96).astype(np.float32) * np.exp(
+        rng.randn(96)  # widely varying per-channel magnitudes
+    )
+    q, s = QB.quantize_cols(jnp.asarray(w))
+    qn, sn = np.asarray(q), np.asarray(s)
+    want_s = np.maximum(np.abs(w).max(0, keepdims=True) / 127.0, 1e-8)
+    np.testing.assert_allclose(sn, want_s, rtol=1e-6)
+    np.testing.assert_array_equal(
+        qn, np.clip(np.round(w / want_s), -127, 127).astype(np.int8)
+    )
+    assert np.abs(qn * sn - w).max() <= 0.5 * sn.max() + 1e-7
+    # symmetric: no channel saturates past +/-127
+    assert qn.max() <= 127 and qn.min() >= -127
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_layer_q8_forward_close_to_fp32(causal):
+    rng = np.random.RandomState(1)
+    D, S, H, B = 64, 40, 2, 3
+    p = _params(rng, D)
+    x = jnp.asarray(rng.randn(B, S, D), jnp.float32)
+
+    from mudpt_tpu.models.text import causal_mask
+
+    mask = causal_mask(S) if causal else None
+    ref = np.asarray(_ref_layer(p, x, H, mask))
+    got = np.asarray(QB.residual_block_q8(p, x, H, causal))
+
+    # W8A8 on one layer: ~1% relative error is the expected regime
+    rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+    assert rel < 0.02, f"relative L2 error {rel:.4f}"
+    cos = (got.ravel() @ ref.ravel()) / (
+        np.linalg.norm(got) * np.linalg.norm(ref)
+    )
+    assert cos > 0.999
+
+
+def test_residual_block_dispatch_and_guards():
+    rng = np.random.RandomState(2)
+    D, S, H = 64, 24, 2
+    p = _params(rng, D)
+    x = jnp.asarray(rng.randn(2, S, D), jnp.float32)
+
+    prev_impl, prev_q = L._BLOCK_IMPL, L.quant_mode()
+    try:
+        L.set_block_impl("pallas")
+        L.set_quant_mode("int8")
+        got = np.asarray(L.residual_block(p, x, H, None, False))
+        ref = np.asarray(_ref_layer(p, x, H))
+        rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+        assert rel < 0.02
+
+        # xla impl + quant: refuse rather than silently serve unquantized
+        L.set_block_impl("xla")
+        with pytest.raises(ValueError, match="int8"):
+            L.residual_block(p, x, H, None, False)
+
+        # additive-mask (non-causal-flag) attention has no q8 kernel path
+        L.set_block_impl("pallas")
+        with pytest.raises(ValueError, match="int8"):
+            L.residual_block(p, x, H, jnp.zeros((S, S)), False)
+    finally:
+        L._BLOCK_IMPL = prev_impl
+        L.set_quant_mode(prev_q)
+
+
+def test_q8_is_inference_only():
+    rng = np.random.RandomState(3)
+    D, S, H = 64, 16, 2
+    p = _params(rng, D)
+    x = jnp.asarray(rng.randn(1, S, D), jnp.float32)
+    with pytest.raises(NotImplementedError, match="inference-only"):
+        jax.grad(lambda x: jnp.sum(QB.residual_block_q8(p, x, H, False) ** 2))(x)
+
+
+def test_q8_full_tower_eval_path():
+    """End-to-end: a 2-layer tower under quant mode stays close to the
+    bf16 pallas tower — the composition the serving/eval path runs."""
+    from mudpt_tpu.models.transformer import transformer_forward
+
+    rng = np.random.RandomState(4)
+    D, S, H, LYR, B = 64, 24, 2, 2, 2
+    stacked = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs), *[_params(rng, D) for _ in range(LYR)]
+    )
+    x = jnp.asarray(rng.randn(B, S, D), jnp.float32)
+
+    prev_impl, prev_q = L._BLOCK_IMPL, L.quant_mode()
+    try:
+        L.set_block_impl("pallas")
+        ref = np.asarray(transformer_forward(stacked, x, n_head=H))
+        L.set_quant_mode("int8")
+        got = np.asarray(transformer_forward(stacked, x, n_head=H))
+    finally:
+        L._BLOCK_IMPL = prev_impl
+        L.set_quant_mode(prev_q)
+    rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+    assert rel < 0.03, f"relative L2 error {rel:.4f}"

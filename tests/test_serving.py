@@ -163,6 +163,30 @@ def test_export_pallas_artifact_validation_and_lowering(tmp_path):
     assert layers.resolve_block_impl() == "xla"
 
 
+def test_export_pallas_int8_artifact(tmp_path):
+    """block_impl='pallas_int8': the W8A8 serving tier exports with the
+    same TPU-only/pinned-batch contract; the program embeds Mosaic custom
+    calls and the quant mode does not leak out of the export."""
+    tr = _tiny_trainer("MuDPT", tmp_path)
+    art = str(tmp_path / "artifact_q8")
+    with pytest.raises(ValueError, match="TPU-only"):
+        serving.export_trainer(art, tr, batch=4, block_impl="pallas_int8",
+                               platforms=("cpu",))
+    serving.export_trainer(art, tr, batch=4, block_impl="pallas_int8")
+    import json as _json
+
+    meta = _json.load(open(os.path.join(art, "meta.json")))
+    assert meta["block_impl"] == "pallas_int8"
+    assert meta["platforms"] == ["tpu"]
+    blob = open(os.path.join(art, "program.jaxexport"), "rb").read()
+    assert b"tpu_custom_call" in blob
+
+    from mudpt_tpu.models import layers
+
+    assert layers.quant_mode() == "none"
+    assert layers.resolve_block_impl() == "xla"
+
+
 def test_export_zero_shot_api(tmp_path):
     """export_zero_shot == api.zero_shot_classifier scoring."""
     import jax

@@ -47,9 +47,12 @@ def parse_args(argv=None):
                    help="pin the serving batch (default: symbolic batch; "
                    "CoCoOp requires a pinned batch)")
     p.add_argument("--platforms", type=str, nargs="+", default=None)
-    p.add_argument("--block_impl", choices=["xla", "pallas"], default="xla",
+    p.add_argument("--block_impl", choices=["xla", "pallas", "pallas_int8"],
+                   default="xla",
                    help="pallas: embed the fused Mosaic kernels (2.3x the "
-                   "XLA forward on-chip) — TPU-only artifact, needs --batch")
+                   "XLA forward on-chip) — TPU-only artifact, needs --batch. "
+                   "pallas_int8: additionally quantize the block projections "
+                   "W8A8 (MXU int8 = 2x bf16 rate)")
     p.add_argument("opts", default=None, nargs=argparse.REMAINDER)
     args = p.parse_args(argv)
     if args.opts and args.opts[0] == "--":
