@@ -111,6 +111,32 @@ def test_q8_is_inference_only():
         jax.grad(lambda x: jnp.sum(QB.residual_block_q8(p, x, H, False) ** 2))(x)
 
 
+def test_q8_under_vmap_matches_unvmapped():
+    """CoCoOp's serving composition: the per-instance text encode vmaps
+    the tower over the batch — the q8 pallas kernel must batch under
+    vmap and match the unvmapped forward row-for-row."""
+    from mudpt_tpu.models.transformer import transformer_forward
+
+    rng = np.random.RandomState(5)
+    D, S, H, LYR, B, N = 64, 24, 2, 2, 3, 4
+    stacked = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs), *[_params(rng, D) for _ in range(LYR)]
+    )
+    x = jnp.asarray(rng.randn(B, N, S, D), jnp.float32)
+
+    prev_impl, prev_q = L._BLOCK_IMPL, L.quant_mode()
+    try:
+        L.set_block_impl("pallas")
+        L.set_quant_mode("int8")
+        tower = lambda xi: transformer_forward(stacked, xi, n_head=H, causal=True)
+        got = np.asarray(jax.vmap(tower)(x))
+        want = np.stack([np.asarray(tower(x[i])) for i in range(B)])
+    finally:
+        L._BLOCK_IMPL = prev_impl
+        L.set_quant_mode(prev_q)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
 def test_q8_full_tower_eval_path():
     """End-to-end: a 2-layer tower under quant mode stays close to the
     bf16 pallas tower — the composition the serving/eval path runs."""

@@ -45,7 +45,19 @@ def main() -> None:
     ap.add_argument("--mode", choices=["train", "eval"], default="train",
                     help="eval = forward + argmax only (CoCoOp serving: "
                     "instance-conditional prompts cannot use a text cache)")
+    ap.add_argument("--quant", choices=["none", "int8"], default="none",
+                    help="eval-mode only: W8A8-quantize the block projections "
+                    "(ops/quant_block.py) — CoCoOp serving is all forward "
+                    "encode, so the int8 bandwidth win applies to the whole "
+                    "step")
     args = ap.parse_args()
+    if args.quant != "none" and args.mode != "eval":
+        ap.error("--quant is inference-only; use with --mode eval")
+    if args.quant != "none":
+        from mudpt_tpu.models.layers import set_block_impl, set_quant_mode
+
+        set_block_impl("pallas")  # q8 exists only in the Pallas tier
+        set_quant_mode(args.quant)
 
     cfg = VIT_B16
     params = cast_matmul_weights(init_clip_params(new_rng(0), cfg), jnp.bfloat16)
@@ -108,7 +120,9 @@ def main() -> None:
             json.dumps(
                 {
                     "metric": (
-                        f"CoCoOp ViT-B/16 eval step (bf16, batch {args.batch}, "
+                        f"CoCoOp ViT-B/16 eval step "
+                        f"({'int8' if args.quant == 'int8' else 'bf16'}, "
+                        f"batch {args.batch}, "
                         f"n_cls {args.n_cls}, per-instance text encode)"
                     ),
                     "value": round(ms, 1),
