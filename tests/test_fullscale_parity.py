@@ -114,6 +114,39 @@ def test_fullscale_bf16_drift_vs_reference(zeroshot_fullscale):
     assert (a.argmax(-1)[decisive] == b.argmax(-1)[decisive]).all()
 
 
+def test_fullscale_int8_drift_vs_reference(zeroshot_fullscale, monkeypatch):
+    """The int8 W8A8 serving tier (ops/quant_block.py, Pallas interpret
+    mode) against the REFERENCE's fp32 logits at full scale: 12 layers of
+    per-layer ~1% quantization error compound here, so this bounds the
+    end-task drift of the whole quantized forward, not one block.
+    Calibrated drift at these shapes (random-init weights): ~4.1% of the
+    logit scale; bound at 10%.  Every top-1 whose reference margin
+    exceeds the observed drift band must survive quantization (measured:
+    3/4 rows decisive, all survive)."""
+    from mudpt_tpu.models import layers as L
+
+    clip_cfg, params, tokens, images, ref_logits = zeroshot_fullscale
+
+    monkeypatch.setattr(L, "_BLOCK_IMPL", "pallas")
+    monkeypatch.setattr(L, "_QUANT_MODE", "int8")
+    p16 = cast_matmul_weights(params, jnp.bfloat16)
+    ours_q8, _ = clip_forward(
+        p16, jnp.asarray(images.transpose(0, 2, 3, 1)),
+        jnp.asarray(tokens), clip_cfg, compute_dtype=jnp.bfloat16,
+    )
+    a = np.asarray(ref_logits, np.float64)
+    b = np.asarray(ours_q8, np.float64)
+
+    band = np.abs(a - b).max()
+    rel = band / np.abs(a).max()
+    assert rel < 0.10, f"int8-vs-reference drift too large: {rel:.4f}"
+
+    sorted_ref = np.sort(a, axis=-1)
+    margin = sorted_ref[:, -1] - sorted_ref[:, -2]
+    decisive = margin > band
+    assert (a.argmax(-1)[decisive] == b.argmax(-1)[decisive]).all()
+
+
 @pytest.fixture(scope="module")
 def mudpt_fullscale(torch_mods):
     """Full-scale MuDPT CustomCLIP (depth 9, n_ctx 2) + the transplanted

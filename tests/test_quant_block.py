@@ -137,6 +137,50 @@ def test_q8_under_vmap_matches_unvmapped():
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
 
 
+def test_q8_sharded_forward_matches_single_device(monkeypatch, tmp_path):
+    """Multi-chip int8 serving: the MuDPT eval forward with quant mode on
+    the 4x2 mesh (towers per-shard via shard_map) must match the 1-device
+    quantized forward — the tier is not a single-chip-only feature."""
+    from tests.test_trainers import tiny_cfg
+    from mudpt_tpu.parallel.mesh import shard_batch
+    from mudpt_tpu.trainers.mudpt import MuDPT
+
+    monkeypatch.setattr(L, "_BLOCK_IMPL", "pallas")
+    monkeypatch.setattr(L, "_QUANT_MODE", "int8")
+
+    devices = jax.devices()
+    assert len(devices) >= 8
+    tr1 = MuDPT(tiny_cfg("MuDPT", tmp_path / "a"), devices=devices[:1])
+    cfg8 = tiny_cfg("MuDPT", tmp_path / "b")
+    cfg8.PARALLEL.MODEL = 2
+    tr8 = MuDPT(cfg8, devices=devices[:8])
+
+    batch = next(iter(tr1.dm.test_loader))
+    logits1 = np.asarray(
+        tr1.forward(
+            tr1.trainable, tr1.frozen, tr1.aux, shard_batch(tr1.mesh, batch)["image"]
+        ),
+        np.float32,
+    )[:, : tr1.num_classes]
+    logits8 = np.asarray(
+        tr8.forward(
+            tr8.trainable, tr8.frozen, tr8.aux, shard_batch(tr8.mesh, batch)["image"]
+        ),
+        np.float32,
+    )[:, : tr8.num_classes]
+    np.testing.assert_allclose(logits1, logits8, rtol=1e-5, atol=1e-5)
+
+    # sanity: quant actually changed the numbers vs the bf16 pallas path
+    monkeypatch.setattr(L, "_QUANT_MODE", "none")
+    logits_bf16 = np.asarray(
+        tr1.forward(
+            tr1.trainable, tr1.frozen, tr1.aux, shard_batch(tr1.mesh, batch)["image"]
+        ),
+        np.float32,
+    )[:, : tr1.num_classes]
+    assert np.abs(logits_bf16 - logits1).max() > 0
+
+
 def test_q8_full_tower_eval_path():
     """End-to-end: a 2-layer tower under quant mode stays close to the
     bf16 pallas tower — the composition the serving/eval path runs."""
