@@ -112,10 +112,14 @@ def main() -> None:
                     "with host->device prefetch (the BASELINE.json north-star "
                     "pipeline), reporting the H2D ceiling alongside.")
     ap.add_argument("--n-jpegs", type=int, default=2048)
-    ap.add_argument("--quant", choices=["none", "int8"], default="none",
-                    help="eval-mode only: post-training W8A8 quantization "
-                    "of the block projection matmuls (ops/quant_block.py; "
-                    "MXU int8 is 2x the bf16 rate on v5e)")
+    ap.add_argument("--quant", choices=["none", "int8", "int8_ste"],
+                    default="none",
+                    help="int8 (eval-mode only): post-training W8A8 "
+                    "quantization of the block projection matmuls "
+                    "(ops/quant_block.py).  int8_ste (train mode): "
+                    "quantization-aware prompt tuning — the same int8 "
+                    "forward with a straight-through backward, training "
+                    "prompts against the numerics that will serve them.")
     ap.add_argument("--mode", choices=["train", "eval"], default="train",
                     help="train: the headline train-step bench. eval: the "
                     "inference/serving path (argmax eval step), reporting "
@@ -126,9 +130,13 @@ def main() -> None:
     # accelerator probe: a bad flag combination must fail immediately
     if args.mode == "eval" and args.input != "resident":
         ap.error("--mode eval supports --input resident only")
-    if args.quant != "none" and args.mode != "eval":
-        ap.error("--quant is inference-only; use with --mode eval "
-                 "(the quantized blocks have no backward)")
+    if args.quant == "int8" and args.mode != "eval":
+        ap.error("--quant int8 is inference-only; use with --mode eval "
+                 "(the quantized blocks have no backward) — for training, "
+                 "--quant int8_ste is the straight-through variant")
+    if args.quant == "int8_ste" and args.mode != "train":
+        ap.error("--quant int8_ste is the TRAINING variant; for serving "
+                 "use --quant int8 (identical forward, no save writes)")
     if args.input != "resident" and args.batch > args.n_jpegs:
         # fail BEFORE the multi-minute graph build: tfdata would yield ZERO
         # batches (drop_remainder) and the bench's batch cycler would spin
@@ -306,6 +314,10 @@ def _run(args) -> None:
     from mudpt_tpu.models.layers import resolve_block_impl
     from mudpt_tpu.models.transformer import set_remat_mode
 
+    if args.quant != "none":
+        from mudpt_tpu.models.layers import set_quant_mode
+
+        set_quant_mode(args.quant)
     if args.remat == "auto":
         # pallas fused blocks save only x per layer => no-remat fits large
         # batches; with XLA blocks no-remat fits to ~batch 96 on 16 GB
@@ -485,7 +497,8 @@ def _run(args) -> None:
             {
                 "metric": (
                     f"MuDPT {args.model} prompt-tuning train throughput "
-                    f"(bf16, batch {args.batch}, n_cls {args.n_cls}, depth {args.depth}"
+                    f"({'int8-ste' if args.quant == 'int8_ste' else 'bf16'}, "
+                    f"batch {args.batch}, n_cls {args.n_cls}, depth {args.depth}"
                     + ("" if args.input == "resident" else f", input {args.input}")
                     + ")"
                 ),

@@ -115,6 +115,11 @@ class TrainCfg:
     # step, write model-preempt.pth.tar (weights + optimizer state + exact
     # batch position), exit cleanly; RESUME continues bit-identically
     CHECKPOINT_ON_SIGTERM: bool = True
+    # Block quantization (ops/quant_block.py; Pallas impl only):
+    # 'int8' = W8A8 serving/eval forward (inference-only — use with
+    # --eval_only / ZeroshotCLIP); 'int8_ste' = quantization-aware prompt
+    # tuning (same int8 forward + straight-through backward)
+    QUANT: str = "none"
 
 
 @_node

@@ -138,15 +138,18 @@ def resolve_block_impl() -> str:
     return _BLOCK_IMPL
 
 
-# Post-training quantization mode for the INFERENCE forward ('none' |
-# 'int8').  int8 runs every block's projection matmuls as s8 x s8 -> s32
-# on the MXU (2x the bf16 rate on v5e) — serving/eval only, the quantized
-# blocks raise under differentiation (ops/quant_block.py).
+# Block quantization mode ('none' | 'int8' | 'int8_ste').  'int8' runs
+# every block's projection matmuls as s8 x s8 -> s32 W8A8 kernels —
+# serving/eval only, differentiation raises.  'int8_ste' is
+# quantization-aware prompt tuning: the SAME int8 forward plus a
+# straight-through backward (the bf16 save-acts layer backward over the
+# quantized forward's saved intermediates), so prompts train against the
+# exact backbone numerics that will serve them (ops/quant_block.py).
 _QUANT_MODE = os.environ.get("MUDPT_TPU_QUANT", "none")
 
 
 def set_quant_mode(name: str) -> None:
-    assert name in ("none", "int8"), name
+    assert name in ("none", "int8", "int8_ste"), name
     global _QUANT_MODE
     _QUANT_MODE = name
 
@@ -164,21 +167,25 @@ def residual_block(p, x: jax.Array, n_head: int, mask=None, causal=False) -> jax
     # (ops/fused_block.mlp_halfblock_chunked, fully tested) is the starting
     # point if such a tower ever needs the fused path.
     D = x.shape[-1]
-    if _QUANT_MODE == "int8":
-        # quantized serving tier: int8 is only implemented in the Pallas
-        # layer kernel — refuse to silently fall back to an unquantized
-        # path the caller did not ask for
+    if _QUANT_MODE != "none":
+        # quantized tiers exist only in the Pallas layer kernels — refuse
+        # to silently fall back to an unquantized path the caller did not
+        # ask for
         if not (
             resolve_block_impl() == "pallas"
             and (mask is None or causal)
             and D <= 1024
         ):
             raise ValueError(
-                "quant mode 'int8' requires the Pallas block impl (causal "
-                f"or unmasked attention, width <= 1024; got impl="
+                f"quant mode {_QUANT_MODE!r} requires the Pallas block impl "
+                "(causal or unmasked attention, width <= 1024; got impl="
                 f"{resolve_block_impl()!r}, D={D}); set_quant_mode('none') "
                 "or set_block_impl('pallas')"
             )
+        if _QUANT_MODE == "int8_ste":
+            from mudpt_tpu.ops.quant_block import residual_block_q8_ste
+
+            return residual_block_q8_ste(p, x, n_head, causal)
         from mudpt_tpu.ops.quant_block import residual_block_q8
 
         return residual_block_q8(p, x, n_head, causal)

@@ -17,9 +17,16 @@ Quantization scheme (the standard dynamic W8A8 recipe):
     in-kernel from the fp32 LN/GELU outputs the kernel already has.
   * accumulate s32, dequantize fp32: out = acc * row_scale * col_scale.
 
-These ops are **forward-only**: the backward raises.  Training stays
-bf16 (ops/fused_block.py); this tier serves `bench.py --mode eval
---quant int8` and `serving.export_* (block_impl='pallas_int8')`.
+Two tiers share the quantized forward:
+  * ``int8`` (`layer_fullblock_q8`) is **forward-only** — the backward
+    raises.  Serves `bench.py --mode eval --quant int8` and
+    `serving.export_* (block_impl='pallas_int8')`.
+  * ``int8_ste`` (`layer_fullblock_q8_ste`) is **quantization-aware
+    prompt tuning**: the same int8 forward plus a straight-through
+    backward (the bf16 save-acts layer backward over the quantized
+    forward's saved intermediates), so prompts train against the exact
+    numerics that will serve them.  `bench.py --quant int8_ste`,
+    `TRAIN.QUANT int8_ste`, `MUDPT_TPU_QUANT=int8_ste`.
 
 Reference correspondence: the reference has no quantized path (its
 inference runs the fp16 CUDA forward, clip/model.py:857-878); this is a
@@ -37,9 +44,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from mudpt_tpu.ops.fused_block import (
+    _call_layer,
     _COMPILER_PARAMS,
     _full,
     _interpret,
+    _layer_bwd_kernel,
     _ln_fp32,
     _mha_acc,
     _quick_gelu,
@@ -157,12 +166,160 @@ def _q8_fwd_vjp(
 
 def _q8_bwd(n_head, causal, res, g):
     raise NotImplementedError(
-        "int8 quantized blocks are inference-only (serving/eval); train "
-        "with the bf16 Pallas tier (unset quant mode / MUDPT_TPU_QUANT)"
+        "int8 quantized blocks are inference-only (serving/eval); to TRAIN "
+        "against the quantized backbone use quant mode 'int8_ste' "
+        "(straight-through backward), or unset quant mode for bf16"
     )
 
 
 layer_fullblock_q8.defvjp(_q8_fwd_vjp, _q8_bwd)
+
+
+def _layer_fwd_q8_save_kernel(
+    x_ref,
+    ln1_s, ln1_b, qkv_wq, qkv_ws, qkv_b, out_wq, out_ws, out_b,
+    ln2_s, ln2_b, fc_wq, fc_ws, fc_b, proj_wq, proj_ws, proj_b,
+    y_ref, y1_ref, qkv_ref, h_ref, acc_ref, *, n_head, causal,
+):
+    """The int8 layer forward, additionally saving the DEQUANTIZED
+    intermediates (qkv, y1, h) the bf16 save-acts backward consumes —
+    the quantization-aware-training forward (see layer_fullblock_q8_ste)."""
+    x = x_ref[0]
+    xn, _, _ = _ln_fp32(x, ln1_s[...], ln1_b[...])
+    xq, xs = _quant_rows(xn)
+    qkv = _q8_matmul(xq, xs, qkv_wq, qkv_ws, qkv_b).astype(x.dtype)
+    qkv_ref[0] = qkv
+    _mha_acc(qkv, acc_ref, n_head=n_head, causal=causal, act_dtype=x.dtype)
+    aq, a_s = _quant_rows(acc_ref[...])
+    y1 = x + _q8_matmul(aq, a_s, out_wq, out_ws, out_b).astype(x.dtype)
+    y1_ref[0] = y1
+    x2n, _, _ = _ln_fp32(y1, ln2_s[...], ln2_b[...])
+    x2q, x2s = _quant_rows(x2n)
+    h = _q8_matmul(x2q, x2s, fc_wq, fc_ws, fc_b)          # fp32 (S, 4D)
+    h_ref[0] = h.astype(h_ref.dtype)
+    g = _quick_gelu(h)
+    gq, gs = _quant_rows(g)
+    y_ref[0] = y1 + _q8_matmul(gq, gs, proj_wq, proj_ws, proj_b).astype(
+        x.dtype
+    )
+
+
+def _quantize_layer(params):
+    """(12 bf16 layer params) -> the 17-operand quantized layout the q8
+    kernels take.  Traced jnp: XLA hoists it out of any batch loop and the
+    cost is one weight read."""
+    (ln1_s, ln1_b, qkv_w, qkv_b, out_w, out_b,
+     ln2_s, ln2_b, fc_w, fc_b, proj_w, proj_b) = params
+    qkv_wq, qkv_ws = quantize_cols(qkv_w)
+    out_wq, out_ws = quantize_cols(out_w)
+    fc_wq, fc_ws = quantize_cols(fc_w)
+    proj_wq, proj_ws = quantize_cols(proj_w)
+    return (
+        ln1_s, ln1_b, qkv_wq, qkv_ws, qkv_b, out_wq, out_ws, out_b,
+        ln2_s, ln2_b, fc_wq, fc_ws, fc_b, proj_wq, proj_ws, proj_b,
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(13, 14))
+def layer_fullblock_q8_ste(x, ln1_s, ln1_b, qkv_w, qkv_b, out_w, out_b,
+                           ln2_s, ln2_b, fc_w, fc_b, proj_w, proj_b,
+                           n_head: int, causal: bool = False):
+    """Quantization-aware prompt tuning: the int8 W8A8 forward with a
+    straight-through backward, so prompts train against the SAME quantized
+    backbone that will serve them (the deploy-aware counterpart of
+    post-training quantization — train/serve numerics match).
+
+    Forward: identical to :func:`layer_fullblock_q8` (weights quantized
+    per-channel in-trace).  Backward: the existing bf16 save-acts layer
+    backward (`fused_block._layer_bwd_kernel`) runs on the QUANTIZED
+    forward's saved intermediates (qkv, y1, h) — the true backward of the
+    quantized function except that (a) the dx matmuls use the bf16 weights
+    in place of their dequantized-int8 copies (within half an int8 LSB
+    per channel) and (b) the round/clip requantization steps differentiate
+    as identity.  That is the standard straight-through estimator; grads
+    flow to x ONLY (frozen layer), like every fused block.
+
+    Takes the ORIGINAL bf16 layer params (same signature as
+    `layer_fullblock`); quantization happens inside.
+    """
+    B, S, D = x.shape
+    params = (ln1_s, ln1_b, qkv_w, qkv_b, out_w, out_b,
+              ln2_s, ln2_b, fc_w, fc_b, proj_w, proj_b)
+    qparams = _quantize_layer(params)
+    specs = [_row(S, D)] + [_spec_of(p) for p in qparams]
+    out_shape = jax.ShapeDtypeStruct((B, S, D), x.dtype)
+    return pl.pallas_call(
+        functools.partial(
+            _layer_fwd_q8_kernel, n_head=n_head, causal=causal
+        ),
+        grid=(B,),
+        in_specs=specs,
+        out_specs=_row_spec_of(out_shape),
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((S, D), jnp.float32)],
+        compiler_params=_COMPILER_PARAMS,
+        interpret=_interpret(),
+    )(x, *qparams)
+
+
+def _q8_ste_fwd(x, ln1_s, ln1_b, qkv_w, qkv_b, out_w, out_b,
+                ln2_s, ln2_b, fc_w, fc_b, proj_w, proj_b, n_head, causal):
+    B, S, D = x.shape
+    Dh = fc_w.shape[1]
+    params = (ln1_s, ln1_b, qkv_w, qkv_b, out_w, out_b,
+              ln2_s, ln2_b, fc_w, fc_b, proj_w, proj_b)
+    qparams = _quantize_layer(params)
+    specs = [_row(S, D)] + [_spec_of(p) for p in qparams]
+    out_shapes = (
+        jax.ShapeDtypeStruct((B, S, D), x.dtype),
+        jax.ShapeDtypeStruct((B, S, D), x.dtype),
+        jax.ShapeDtypeStruct((B, S, 3 * D), x.dtype),
+        jax.ShapeDtypeStruct((B, S, Dh), x.dtype),
+    )
+    y, y1, qkv, h = pl.pallas_call(
+        functools.partial(
+            _layer_fwd_q8_save_kernel, n_head=n_head, causal=causal
+        ),
+        grid=(B,),
+        in_specs=specs,
+        out_specs=jax.tree_util.tree_map(_row_spec_of, out_shapes),
+        out_shape=out_shapes,
+        scratch_shapes=[pltpu.VMEM((S, D), jnp.float32)],
+        compiler_params=_COMPILER_PARAMS,
+        interpret=_interpret(),
+    )(x, *qparams)
+    return y, (x, y1, qkv, h, params)
+
+
+def _q8_ste_bwd(n_head, causal, res, g):
+    x, y1, qkv, h, params = res
+    B, S, D = x.shape
+    dx = _call_layer(
+        _layer_bwd_kernel, x, params, (y1, qkv, h, g),
+        jax.ShapeDtypeStruct((B, S, D), x.dtype),
+        [pltpu.VMEM((S, 3 * D), x.dtype)],
+        n_head=n_head, causal=causal,
+    )
+    zeros = tuple(jnp.zeros_like(p) for p in params)
+    return (dx, *zeros)
+
+
+layer_fullblock_q8_ste.defvjp(_q8_ste_fwd, _q8_ste_bwd)
+
+
+def residual_block_q8_ste(p, x: jax.Array, n_head: int, causal=False) -> jax.Array:
+    """residual_block under quant mode 'int8_ste' (quantization-aware
+    prompt tuning): same param pytree as the bf16 tier."""
+    return layer_fullblock_q8_ste(
+        x,
+        p["ln_1"]["scale"], p["ln_1"]["bias"],
+        p["attn"]["qkv_w"], p["attn"]["qkv_b"],
+        p["attn"]["out_w"], p["attn"]["out_b"],
+        p["ln_2"]["scale"], p["ln_2"]["bias"],
+        p["mlp"]["fc_w"], p["mlp"]["fc_b"],
+        p["mlp"]["proj_w"], p["mlp"]["proj_b"],
+        n_head, causal,
+    )
 
 
 def residual_block_q8(p, x: jax.Array, n_head: int, causal=False) -> jax.Array:

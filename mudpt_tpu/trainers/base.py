@@ -118,6 +118,16 @@ class TrainerBase:
         from mudpt_tpu.models.layers import set_platform_hint
 
         set_platform_hint(self.mesh.mesh.devices.flat[0].platform)
+        if cfg.TRAIN.QUANT != "none":
+            from mudpt_tpu.models.layers import set_quant_mode
+
+            if cfg.TRAIN.QUANT not in ("int8", "int8_ste"):
+                raise ValueError(
+                    f"TRAIN.QUANT must be 'none', 'int8' (eval-only), or "
+                    f"'int8_ste' (quantization-aware training); got "
+                    f"{cfg.TRAIN.QUANT!r}"
+                )
+            set_quant_mode(cfg.TRAIN.QUANT)
         self.dm = DataManager(cfg, dataset, n_data=self.mesh.n_data)
         self.num_classes = self.dm.num_classes
         self.classnames = self.dm.classnames
