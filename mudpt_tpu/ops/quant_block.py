@@ -262,13 +262,9 @@ def layer_fullblock_q8_ste(x, ln1_s, ln1_b, qkv_w, qkv_b, out_w, out_b,
     )(x, *qparams)
 
 
-def _q8_ste_fwd(x, ln1_s, ln1_b, qkv_w, qkv_b, out_w, out_b,
-                ln2_s, ln2_b, fc_w, fc_b, proj_w, proj_b, n_head, causal):
+def _q8_save_forward(x, qparams, n_head, causal, Dh):
+    """Run the saving q8 forward kernel: (y, y1, qkv, h)."""
     B, S, D = x.shape
-    Dh = fc_w.shape[1]
-    params = (ln1_s, ln1_b, qkv_w, qkv_b, out_w, out_b,
-              ln2_s, ln2_b, fc_w, fc_b, proj_w, proj_b)
-    qparams = _quantize_layer(params)
     specs = [_row(S, D)] + [_spec_of(p) for p in qparams]
     out_shapes = (
         jax.ShapeDtypeStruct((B, S, D), x.dtype),
@@ -276,7 +272,7 @@ def _q8_ste_fwd(x, ln1_s, ln1_b, qkv_w, qkv_b, out_w, out_b,
         jax.ShapeDtypeStruct((B, S, 3 * D), x.dtype),
         jax.ShapeDtypeStruct((B, S, Dh), x.dtype),
     )
-    y, y1, qkv, h = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(
             _layer_fwd_q8_save_kernel, n_head=n_head, causal=causal
         ),
@@ -288,12 +284,35 @@ def _q8_ste_fwd(x, ln1_s, ln1_b, qkv_w, qkv_b, out_w, out_b,
         compiler_params=_COMPILER_PARAMS,
         interpret=_interpret(),
     )(x, *qparams)
-    return y, (x, y1, qkv, h, params)
+
+
+def _q8_ste_fwd(x, ln1_s, ln1_b, qkv_w, qkv_b, out_w, out_b,
+                ln2_s, ln2_b, fc_w, fc_b, proj_w, proj_b, n_head, causal):
+    from mudpt_tpu.ops import fused_block as FB
+
+    params = (ln1_s, ln1_b, qkv_w, qkv_b, out_w, out_b,
+              ln2_s, ln2_b, fc_w, fc_b, proj_w, proj_b)
+    if FB.save_acts_enabled():
+        y, y1, qkv, h = _q8_save_forward(
+            x, _quantize_layer(params), n_head, causal, fc_w.shape[1]
+        )
+        return y, (x, y1, qkv, h, params)
+    # recompute strategy (saved_acts(False): the large-n_cls text tower and
+    # CoCoOp's big vmap'd encode trade backward recompute for HBM): save x
+    # only; the backward regenerates the quantized intermediates
+    y = layer_fullblock_q8(x, *_quantize_layer(params), n_head, causal)
+    return y, (x, None, None, None, params)
 
 
 def _q8_ste_bwd(n_head, causal, res, g):
     x, y1, qkv, h, params = res
     B, S, D = x.shape
+    if y1 is None:
+        # recompute the QUANTIZED forward's intermediates (identical
+        # quantization chain to the primal forward), then the same dx kernel
+        _, y1, qkv, h = _q8_save_forward(
+            x, _quantize_layer(params), n_head, causal, params[8].shape[1]
+        )
     dx = _call_layer(
         _layer_bwd_kernel, x, params, (y1, qkv, h, g),
         jax.ShapeDtypeStruct((B, S, D), x.dtype),

@@ -143,6 +143,35 @@ def test_q8_ste_grad_close_to_bf16_and_nonzero():
     assert rel < 0.05, f"STE grad diverged from bf16 dx: rel {rel:.4f}"
 
 
+def test_q8_ste_recompute_matches_save_strategy():
+    """Under saved_acts(False) (the large-n_cls text-tower / CoCoOp-vmap
+    memory policy) the STE backward regenerates the quantized
+    intermediates instead of saving them — value and dx must be
+    bit-identical to the save-strategy run."""
+    from mudpt_tpu.ops.fused_block import saved_acts
+
+    rng = np.random.RandomState(8)
+    D, S, H, B = 64, 32, 2, 2
+    p = _params(rng, D)
+    x = jnp.asarray(rng.randn(B, S, D), jnp.float32)
+    args = (
+        p["ln_1"]["scale"], p["ln_1"]["bias"],
+        p["attn"]["qkv_w"], p["attn"]["qkv_b"],
+        p["attn"]["out_w"], p["attn"]["out_b"],
+        p["ln_2"]["scale"], p["ln_2"]["bias"],
+        p["mlp"]["fc_w"], p["mlp"]["fc_b"],
+        p["mlp"]["proj_w"], p["mlp"]["proj_b"],
+    )
+    f = lambda x: QB.layer_fullblock_q8_ste(x, *args, H, True)
+    loss = lambda x: jnp.sum(f(x) ** 2)
+    with saved_acts(True):
+        y_save, g_save = f(x), jax.grad(loss)(x)
+    with saved_acts(False):
+        y_rc, g_rc = f(x), jax.grad(loss)(x)
+    np.testing.assert_array_equal(np.asarray(y_rc), np.asarray(y_save))
+    np.testing.assert_array_equal(np.asarray(g_rc), np.asarray(g_save))
+
+
 def test_q8_ste_trains_end_to_end(tmp_path):
     """A tiny MuDPT trainer under quant mode 'int8_ste': the jitted train
     step runs, loss drops over a few steps, and the trained prompts serve

@@ -45,14 +45,20 @@ def main() -> None:
     ap.add_argument("--mode", choices=["train", "eval"], default="train",
                     help="eval = forward + argmax only (CoCoOp serving: "
                     "instance-conditional prompts cannot use a text cache)")
-    ap.add_argument("--quant", choices=["none", "int8"], default="none",
-                    help="eval-mode only: W8A8-quantize the block projections "
-                    "(ops/quant_block.py) — CoCoOp serving is all forward "
-                    "encode, so the int8 bandwidth win applies to the whole "
-                    "step")
+    ap.add_argument("--quant", choices=["none", "int8", "int8_ste"],
+                    default="none",
+                    help="int8 (eval mode): W8A8-quantize the block "
+                    "projections (ops/quant_block.py) — CoCoOp serving is "
+                    "all forward encode, so the int8 bandwidth win applies "
+                    "to the whole step.  int8_ste (train mode): "
+                    "quantization-aware prompt tuning")
     args = ap.parse_args()
-    if args.quant != "none" and args.mode != "eval":
-        ap.error("--quant is inference-only; use with --mode eval")
+    if args.quant == "int8" and args.mode != "eval":
+        ap.error("--quant int8 is inference-only; use with --mode eval "
+                 "(--quant int8_ste is the training variant)")
+    if args.quant == "int8_ste" and args.mode != "train":
+        ap.error("--quant int8_ste is the training variant; for serving "
+                 "use --quant int8")
     if args.quant != "none":
         from mudpt_tpu.models.layers import set_block_impl, set_quant_mode
 
@@ -153,7 +159,9 @@ def main() -> None:
         json.dumps(
             {
                 "metric": (
-                    f"CoCoOp ViT-B/16 train step (bf16, batch {args.batch}, "
+                    f"CoCoOp ViT-B/16 train step "
+                    f"({'int8-ste' if args.quant == 'int8_ste' else 'bf16'}, "
+                    f"batch {args.batch}, "
                     f"n_cls {args.n_cls}, chunked text encode)"
                 ),
                 "value": round(ms, 1),
