@@ -242,6 +242,36 @@ def test_export_cli(tmp_path):
     assert np.isfinite(out).all()
 
 
+def test_bench_artifact_cli(tmp_path):
+    """tools/bench_artifact.py: loads an artifact and reports a JSON
+    throughput line (the on-chip artifact-validation harness; here on the
+    CPU artifact).  Symbolic-batch artifacts require --batch."""
+    import json as _json
+    import subprocess
+    import sys
+
+    tr = _tiny_trainer("MuDPT", tmp_path)
+    art = str(tmp_path / "bench_artifact")
+    serving.export_trainer(art, tr, platforms=("cpu",))
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, "tools/bench_artifact.py", "--artifact", art,
+         "--steps", "2", "--warmup", "1"],
+        capture_output=True, text=True, timeout=600, env=env,
+    )
+    assert r.returncode != 0  # symbolic batch, no --batch
+    assert "symbolic-batch" in r.stderr
+    r = subprocess.run(
+        [sys.executable, "tools/bench_artifact.py", "--artifact", art,
+         "--batch", "4", "--steps", "2", "--warmup", "1"],
+        capture_output=True, text=True, timeout=600, env=env,
+    )
+    assert r.returncode == 0, r.stderr
+    line = _json.loads(r.stdout.strip().splitlines()[-1])
+    assert line["unit"] == "images/sec/chip" and line["finite"] is True
+    assert line["value"] > 0
+
+
 def test_predict_cli(tmp_path):
     """tools/predict.py: artifact + image files -> JSONL of top-k preds,
     including the pinned-batch tail-padding path."""
