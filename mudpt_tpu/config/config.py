@@ -56,6 +56,11 @@ class DatasetCfg:
     ROOT: str = ""
     NUM_SHOTS: int = 16              # reference train.py:80
     SUBSAMPLE_CLASSES: str = "all"   # all | base | new (train.py:79)
+    # Synthetic-dataset sizing (repo-only dataset; no reference analogue).
+    # Lets CLI smoke/e2e runs scale the in-memory dataset via KEY VALUE
+    # overrides without touching the test defaults.
+    SYNTHETIC_NUM_CLASSES: int = 4
+    SYNTHETIC_PER_CLASS: int = 8
 
 
 @_node

@@ -23,7 +23,9 @@ class Synthetic(DatasetBase):
     dataset_dir = "synthetic"
 
     @classmethod
-    def build(cls, cfg, num_classes: int = 4, per_class: int = 8, size: int = 0):
+    def build(cls, cfg, num_classes: int = 0, per_class: int = 0, size: int = 0):
+        num_classes = num_classes or cfg.DATASET.SYNTHETIC_NUM_CLASSES
+        per_class = per_class or cfg.DATASET.SYNTHETIC_PER_CLASS
         size = size or cfg.INPUT.SIZE[0]
         rng = np.random.RandomState(cfg.SEED)
         # distinct RGB tints per class: global color is the class signal
@@ -37,7 +39,8 @@ class Synthetic(DatasetBase):
                     splits[split].append(
                         Datum(
                             label=label,
-                            classname=_NAMES[label % len(_NAMES)],
+                            classname=(_NAMES[label] if label < len(_NAMES)
+                                       else f"{_NAMES[label % len(_NAMES)]} {label}"),
                             array=np.clip(img, 0, 1),
                         )
                     )

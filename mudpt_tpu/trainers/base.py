@@ -15,6 +15,7 @@ class-axis text buffers on `model`, params replicated (see parallel/mesh.py).
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 import os
 import time
@@ -67,6 +68,10 @@ _NAMED_CONFIGS = {
     "ViT-B/16": VIT_B16,
     "ViT-B/32": VIT_B32,
     "ViT-L/14": VIT_L14,
+    # reference clip/clip.py:31-41 also ships the 336px fine-tune; same
+    # tower, 24x24 patch grid (the converter derives this from a real
+    # checkpoint — this preset covers PATH='random' runs)
+    "ViT-L/14@336px": dataclasses.replace(VIT_L14, image_resolution=336),
     "test-tiny": TINY_TEST,
 }
 

@@ -80,6 +80,20 @@ def test_synthetic_datamanager():
     assert batch["label"].dtype == np.int32
 
 
+def test_synthetic_size_overrides():
+    """DATASET.SYNTHETIC_* scale the in-memory dataset (for CLI smoke and
+    end-to-end on-chip runs); classnames stay unique past the name table."""
+    cfg = default_config()
+    cfg.DATASET.NAME = "Synthetic"
+    cfg.INPUT.SIZE = (16, 16)
+    cfg.DATASET.SYNTHETIC_NUM_CLASSES = 20
+    cfg.DATASET.SYNTHETIC_PER_CLASS = 3
+    dm = DataManager(cfg)
+    assert dm.num_classes == 20
+    assert len(set(dm.classnames)) == 20
+    assert len(dm.dataset.train_x) == 60
+
+
 def test_folder_per_class_dataset(tmp_path):
     """Caltech-style folder-per-class tree exercised end to end, including
     the preprocessed.pkl cache round trip."""

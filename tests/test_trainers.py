@@ -300,3 +300,17 @@ def test_eval_text_cache_matches_full_forward(tmp_path, trainer):
     assert getattr(cc, "_text_features", None) is None
     zs = build_trainer(tiny_cfg("ZeroshotCLIP", tmp_path))
     assert getattr(zs, "_text_features", None) is None
+
+
+def test_named_backbone_presets_cover_reference_vit_list():
+    """PATH='random' architecture presets include every ViT the reference
+    ships (clip/clip.py:31-41), including the 336px fine-tune whose only
+    delta is the 24x24 patch grid."""
+    from mudpt_tpu.trainers.base import _NAMED_CONFIGS
+
+    for name in ("ViT-B/16", "ViT-B/32", "ViT-L/14", "ViT-L/14@336px"):
+        assert name in _NAMED_CONFIGS
+    c336 = _NAMED_CONFIGS["ViT-L/14@336px"]
+    assert c336.image_resolution == 336
+    assert c336.grid_size == 24
+    assert c336.vision_width == _NAMED_CONFIGS["ViT-L/14"].vision_width
