@@ -210,30 +210,40 @@ def _synth_jpegs(n: int, n_cls: int, side: int = 256):
     ]
 
 
-def _build_input_loader(args, resolution: int):
-    assert args.batch <= args.n_jpegs  # validated at arg parse
-    items = _synth_jpegs(args.n_jpegs, args.n_cls)
-    if args.input == "tfdata":
+def build_pipeline_loader(pipeline: str, items, batch: int, size: int, *,
+                          workers: int = 16, seed: int = 0):
+    """Construct the named input pipeline over decoded-on-the-fly items
+    (shared by bench.py --input and tools/bench_input.py)."""
+    if pipeline == "tfdata":
         from mudpt_tpu.data.tfdata import TFDataLoader
 
         return TFDataLoader(
-            items, args.batch, size=resolution, is_train=True,
-            shuffle=True, drop_last=True, seed=0,
+            items, batch, size=size, is_train=True,
+            shuffle=True, drop_last=True, seed=seed,
         )
     from mudpt_tpu.data.transforms import TrainTransform
 
-    tf = TrainTransform(size=resolution)
-    if args.input == "grain":
+    tf = TrainTransform(size=size)
+    if pipeline == "grain":
         from mudpt_tpu.data.grain_pipeline import GrainLoader
 
         return GrainLoader(
-            items, tf, args.batch, shuffle=True, drop_last=True, seed=0
+            items, tf, batch, shuffle=True, drop_last=True, seed=seed
         )
     from mudpt_tpu.data.loader import DataLoader
 
     return DataLoader(
-        items, tf, args.batch, shuffle=True, drop_last=True,
-        num_workers=int(os.environ.get("MUDPT_BENCH_WORKERS", "16")),
+        items, tf, batch, shuffle=True, drop_last=True,
+        num_workers=workers,
+    )
+
+
+def _build_input_loader(args, resolution: int):
+    assert args.batch <= args.n_jpegs  # validated at arg parse
+    items = _synth_jpegs(args.n_jpegs, args.n_cls)
+    return build_pipeline_loader(
+        args.input, items, args.batch, resolution,
+        workers=int(os.environ.get("MUDPT_BENCH_WORKERS", "16")),
     )
 
 

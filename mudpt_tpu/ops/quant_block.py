@@ -37,6 +37,7 @@ serving numbers (docs/BENCHMARKS.md).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -292,7 +293,14 @@ def _q8_ste_fwd(x, ln1_s, ln1_b, qkv_w, qkv_b, out_w, out_b,
 
     params = (ln1_s, ln1_b, qkv_w, qkv_b, out_w, out_b,
               ln2_s, ln2_b, fc_w, fc_b, proj_w, proj_b)
-    if FB.save_acts_enabled():
+    # same width gate as the bf16 tier (fused_block save_limit): the save
+    # set includes h (S x 4D), which at D=1024 OOMs HBM at the
+    # throughput-optimal batch unless MUDPT_TPU_SAVE_MLP_WIDE caps the
+    # batch instead (measured, docs/BENCHMARKS.md round 3)
+    save_limit = (
+        1024 if os.environ.get("MUDPT_TPU_SAVE_MLP_WIDE") == "1" else 768
+    )
+    if FB.save_acts_enabled() and x.shape[-1] <= save_limit:
         y, y1, qkv, h = _q8_save_forward(
             x, _quantize_layer(params), n_head, causal, fc_w.shape[1]
         )

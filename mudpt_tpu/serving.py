@@ -61,6 +61,10 @@ def _block_impl(name: str):
         layers.set_quant_mode("int8" if name == "pallas_int8" else "none")
     else:
         layers.set_block_impl(name)
+        # an ambient quant mode (env opt-in or a TRAIN.QUANT trainer built
+        # earlier in this process) would make the XLA trace raise — an
+        # explicit block_impl='xla' fully specifies an unquantized artifact
+        layers.set_quant_mode("none")
     try:
         yield
     finally:
@@ -143,8 +147,13 @@ def export_classifier(
     else:
         b = int(batch)
     img_spec = jax.ShapeDtypeStruct((b, *image_shape), jnp.float32)
+    # read .dtype without np.asarray: that would device->host transfer
+    # every leaf a second time (the savez loop below already pays one)
     leaf_specs = tuple(
-        jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype) for x in leaves
+        jax.ShapeDtypeStruct(
+            np.shape(x), getattr(x, "dtype", None) or np.asarray(x).dtype
+        )
+        for x in leaves
     )
 
     with _block_impl(block_impl):
@@ -205,16 +214,37 @@ def export_trainer(path: str, trainer, *, batch: Optional[int] = None,
         "frozen": trainer.frozen,
         "aux": trainer.aux,
     }
+
+    def _drop_text_tower(frozen):
+        # cached-text artifacts never run the text tower; shipping it
+        # would store + device_put ~40% dead weight on every load
+        if isinstance(frozen, dict) and "text" in frozen:
+            return {k: v for k, v in frozen.items() if k != "text"}
+        return frozen
+
     inference = getattr(trainer, "model_inference", None)
     text_fn = getattr(trainer, "forward_text", None)
     if inference is not None:  # ZeroshotCLIP*: text features already cached in aux
         fn = _unmeshed(inference)
+        ops["frozen"] = _drop_text_tower(trainer.frozen)
 
         def score(o, images):
             return fn(o["trainable"], o["frozen"], o["aux"], images)[:, :n_cls]
 
     elif text_fn is not None:
-        ops["txt"] = text_fn(trainer.trainable, trainer.frozen, trainer.aux)
+        # the export-time text encode runs EAGERLY (outside the
+        # _block_impl trace context): pin it to the unquantized path so an
+        # ambient quant mode neither raises under the XLA impl nor bakes
+        # quantized class features into the artifact
+        from mudpt_tpu.models import layers as _layers
+
+        prev_quant = _layers.quant_mode()
+        _layers.set_quant_mode("none")
+        try:
+            ops["txt"] = text_fn(trainer.trainable, trainer.frozen, trainer.aux)
+        finally:
+            _layers.set_quant_mode(prev_quant)
+        ops["frozen"] = _drop_text_tower(trainer.frozen)
         img_fn = _unmeshed(trainer.forward_image)
 
         def score(o, images):
@@ -239,10 +269,7 @@ def export_trainer(path: str, trainer, *, batch: Optional[int] = None,
         return score(o, images.astype(trainer.compute_dtype)).astype(jnp.float32)
 
     res = trainer.clip_cfg.image_resolution
-    export_classifier(
-        path,
-        cast_score,
-        ops,
+    kwargs = dict(
         image_shape=(res, res, 3),
         classnames=list(trainer.classnames),
         batch=batch,
@@ -250,6 +277,14 @@ def export_trainer(path: str, trainer, *, batch: Optional[int] = None,
         extra_meta={"trainer": trainer.cfg.TRAINER.NAME},
         block_impl=block_impl,
     )
+    try:
+        export_classifier(path, cast_score, ops, **kwargs)
+    except KeyError:
+        # a trainer whose image path DOES read the text tower (none today)
+        if ops.get("frozen") is trainer.frozen:
+            raise
+        ops["frozen"] = trainer.frozen
+        export_classifier(path, cast_score, ops, **kwargs)
 
 
 def export_zero_shot(

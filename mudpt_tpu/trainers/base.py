@@ -123,16 +123,22 @@ class TrainerBase:
         from mudpt_tpu.models.layers import set_platform_hint
 
         set_platform_hint(self.mesh.mesh.devices.flat[0].platform)
-        if cfg.TRAIN.QUANT != "none":
-            from mudpt_tpu.models.layers import set_quant_mode
+        from mudpt_tpu.models.layers import set_quant_mode
 
-            if cfg.TRAIN.QUANT not in ("int8", "int8_ste"):
-                raise ValueError(
-                    f"TRAIN.QUANT must be 'none', 'int8' (eval-only), or "
-                    f"'int8_ste' (quantization-aware training); got "
-                    f"{cfg.TRAIN.QUANT!r}"
-                )
-            set_quant_mode(cfg.TRAIN.QUANT)
+        if cfg.TRAIN.QUANT not in ("none", "int8", "int8_ste"):
+            raise ValueError(
+                f"TRAIN.QUANT must be 'none', 'int8' (eval-only), or "
+                f"'int8_ste' (quantization-aware training); got "
+                f"{cfg.TRAIN.QUANT!r}"
+            )
+        # the mode is process-global: set it on EVERY build so a 'none'
+        # trainer clears a mode left by a previous build in the same
+        # process (A/B drivers, base->new eval).  An explicit config wins;
+        # 'none' defers to the MUDPT_TPU_QUANT env opt-in.
+        set_quant_mode(
+            cfg.TRAIN.QUANT if cfg.TRAIN.QUANT != "none"
+            else os.environ.get("MUDPT_TPU_QUANT", "none")
+        )
         self.dm = DataManager(cfg, dataset, n_data=self.mesh.n_data)
         self.num_classes = self.dm.num_classes
         self.classnames = self.dm.classnames

@@ -184,8 +184,11 @@ def test_q8_ste_trains_end_to_end(tmp_path):
     prev_impl, prev_q = L._BLOCK_IMPL, L.quant_mode()
     try:
         L.set_block_impl("pallas")
-        L.set_quant_mode("int8_ste")
-        tr = MuDPT(tiny_cfg("MuDPT", tmp_path), devices=jax.devices()[:1])
+        # the build OWNS the process-global mode (it resets it from the
+        # config), so opt in via TRAIN.QUANT — the production surface
+        cfg = tiny_cfg("MuDPT", tmp_path)
+        cfg.TRAIN.QUANT = "int8_ste"
+        tr = MuDPT(cfg, devices=jax.devices()[:1])
         batch = next(iter(tr.dm.train_loader))
         sb = shard_batch(tr.mesh, batch)
         trainable, opt_state = tr.trainable, tr.opt_state
@@ -280,6 +283,9 @@ def test_q8_sharded_forward_matches_single_device(monkeypatch, tmp_path):
 
     monkeypatch.setattr(L, "_BLOCK_IMPL", "pallas")
     monkeypatch.setattr(L, "_QUANT_MODE", "int8")
+    # trainer builds reset the process-global mode from config/env — the
+    # env opt-in keeps it 'int8' through both builds
+    monkeypatch.setenv("MUDPT_TPU_QUANT", "int8")
 
     devices = jax.devices()
     assert len(devices) >= 8
@@ -337,3 +343,73 @@ def test_q8_full_tower_eval_path():
         L.set_quant_mode(prev_q)
     rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
     assert rel < 0.03, f"relative L2 error {rel:.4f}"
+
+
+def test_q8_ste_save_gate_matches_bf16_width_limit(monkeypatch):
+    """The STE forward must apply the bf16 tier's save-width gate: at
+    D>768 the h-save set (S x 4D bf16 per image per layer) OOMs HBM at the
+    throughput-optimal ViT-L batch (docs/BENCHMARKS.md round 3), so wide
+    layers take the recompute branch unless MUDPT_TPU_SAVE_MLP_WIDE opts
+    back in."""
+    from mudpt_tpu.ops import fused_block as FB
+
+    def flat(p):
+        return (p["ln_1"]["scale"], p["ln_1"]["bias"],
+                p["attn"]["qkv_w"], p["attn"]["qkv_b"],
+                p["attn"]["out_w"], p["attn"]["out_b"],
+                p["ln_2"]["scale"], p["ln_2"]["bias"],
+                p["mlp"]["fc_w"], p["mlp"]["fc_b"],
+                p["mlp"]["proj_w"], p["mlp"]["proj_b"])
+
+    rng = np.random.RandomState(0)
+    monkeypatch.delenv("MUDPT_TPU_SAVE_MLP_WIDE", raising=False)
+    sentinel = RuntimeError("save kernel invoked")
+
+    def boom(*a, **k):
+        raise sentinel
+
+    monkeypatch.setattr(QB, "_q8_save_forward", boom)
+    with FB.saved_acts(True):
+        # D=896 > 768: recompute branch — the save kernel must not run
+        x = jnp.asarray(rng.randn(1, 8, 896) * 0.1, jnp.float32)
+        y, res = QB._q8_ste_fwd(x, *flat(_params(rng, 896)), 14, False)
+        assert res[1] is None and y.shape == x.shape
+
+        # wide-save opt-in lifts the gate to D=1024 (same env knob)
+        monkeypatch.setenv("MUDPT_TPU_SAVE_MLP_WIDE", "1")
+        with pytest.raises(RuntimeError, match="save kernel"):
+            QB._q8_ste_fwd(x, *flat(_params(rng, 896)), 14, False)
+        monkeypatch.delenv("MUDPT_TPU_SAVE_MLP_WIDE")
+
+        # D=64 <= 768: the save branch is the fast default
+        x64 = jnp.asarray(rng.randn(1, 8, 64) * 0.1, jnp.float32)
+        with pytest.raises(RuntimeError, match="save kernel"):
+            QB._q8_ste_fwd(x64, *flat(_params(rng, 64)), 2, False)
+
+
+def test_quant_mode_clears_on_plain_build(tmp_path, monkeypatch):
+    """The quant mode is process-global: a TRAIN.QUANT='none' build must
+    clear a mode left by a previous build in the same process (A/B
+    drivers, base->new eval), while the MUDPT_TPU_QUANT env opt-in still
+    applies when the config does not say otherwise."""
+    from tests.test_trainers import tiny_cfg
+    from mudpt_tpu.trainers.mudpt import MuDPT
+
+    prev_impl, prev_q = L._BLOCK_IMPL, L.quant_mode()
+    monkeypatch.delenv("MUDPT_TPU_QUANT", raising=False)
+    try:
+        L.set_block_impl("pallas")
+        cfg = tiny_cfg("MuDPT", tmp_path / "a")
+        cfg.TRAIN.QUANT = "int8_ste"
+        MuDPT(cfg, devices=jax.devices()[:1])
+        assert L.quant_mode() == "int8_ste"
+
+        MuDPT(tiny_cfg("MuDPT", tmp_path / "b"), devices=jax.devices()[:1])
+        assert L.quant_mode() == "none"
+
+        monkeypatch.setenv("MUDPT_TPU_QUANT", "int8_ste")
+        MuDPT(tiny_cfg("MuDPT", tmp_path / "c"), devices=jax.devices()[:1])
+        assert L.quant_mode() == "int8_ste"
+    finally:
+        L._BLOCK_IMPL = prev_impl
+        L.set_quant_mode(prev_q)

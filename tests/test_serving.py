@@ -263,7 +263,7 @@ def test_bench_artifact_cli(tmp_path):
     assert "symbolic-batch" in r.stderr
     r = subprocess.run(
         [sys.executable, "tools/bench_artifact.py", "--artifact", art,
-         "--batch", "4", "--steps", "2", "--warmup", "1"],
+         "--batch", "4", "--steps", "2", "--warmup", "0"],
         capture_output=True, text=True, timeout=600, env=env,
     )
     assert r.returncode == 0, r.stderr
@@ -372,3 +372,56 @@ def test_loader_needs_no_model_code(tmp_path):
     )
     assert r.returncode == 0, r.stderr
     assert "OK" in r.stdout
+
+
+def test_export_prunes_dead_text_tower(tmp_path):
+    """Cached-text artifacts never run the text tower; its leaves (the
+    vocab-size token embedding dominates) must not be stored in params.npz
+    or device_put on every load."""
+    import jax
+
+    tr = _tiny_trainer("CoOp", tmp_path)
+    art = str(tmp_path / "pruned")
+    serving.export_trainer(art, tr, platforms=("cpu",))
+    clf = serving.load(art)
+
+    n_text = len(jax.tree_util.tree_leaves(tr.frozen["text"]))
+    n_full = len(
+        jax.tree_util.tree_leaves(
+            {"t": tr.trainable, "f": tr.frozen, "a": tr.aux}
+        )
+    )
+    assert clf.meta["n_leaves"] <= n_full + 1 - n_text  # +1: cached txt
+    vocab = tr.clip_cfg.vocab_size
+    assert all(np.shape(l)[:1] != (vocab,) for l in clf._leaves)
+
+    # pruning must not change the scores
+    imgs = _images(3)
+    got = clf.predict(imgs)
+    want = np.asarray(
+        tr.forward(tr.trainable, tr.frozen, tr.aux, imgs)
+    )[:, : tr.num_classes]
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_export_xla_clears_ambient_quant_mode(tmp_path):
+    """block_impl='xla' fully specifies an unquantized artifact: an ambient
+    quant mode (env opt-in / earlier TRAIN.QUANT build in this process)
+    must not make the XLA trace raise, and must be restored afterwards."""
+    from mudpt_tpu.models import layers as L
+
+    tr = _tiny_trainer("MuDPT", tmp_path)
+    want = np.asarray(
+        tr.forward(tr.trainable, tr.frozen, tr.aux, _images(2))
+    )[:, : tr.num_classes]
+
+    prev = L.quant_mode()
+    L.set_quant_mode("int8_ste")
+    try:
+        art = str(tmp_path / "xla_quant_ambient")
+        serving.export_trainer(art, tr, platforms=("cpu",))
+        assert L.quant_mode() == "int8_ste"  # context restored the mode
+    finally:
+        L.set_quant_mode(prev)
+    got = serving.load(art).predict(_images(2))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)

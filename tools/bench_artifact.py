@@ -60,10 +60,9 @@ def main() -> None:
     # serially, so the final fetch bounds every queued batch) — per-batch
     # np.asarray round-trips measure the tunnel's dispatch latency, not
     # the artifact (predict() pays them; a real serving host would not)
-    logits = None
-    for _ in range(args.warmup):
+    for _ in range(max(1, args.warmup)):  # >=1: the first call compiles
         logits = clf._call(clf._leaves, images)
-    assert logits is not None and np.isfinite(np.asarray(logits)).all()
+    assert np.isfinite(np.asarray(logits)).all()
 
     t0 = time.perf_counter()
     for _ in range(args.steps):

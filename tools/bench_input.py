@@ -45,34 +45,12 @@ def parse_args(argv=None):
 def main(args) -> None:
     import numpy as np
 
-    from bench import _synth_jpegs
+    from bench import _synth_jpegs, build_pipeline_loader
 
     items = _synth_jpegs(args.n_jpegs, n_cls=100, side=256)
-
-    if args.pipeline == "tfdata":
-        from mudpt_tpu.data.tfdata import TFDataLoader
-
-        loader = TFDataLoader(
-            items, args.batch, size=args.size, is_train=True,
-            shuffle=True, drop_last=True, seed=0,
-        )
-    else:
-        from mudpt_tpu.data.transforms import TrainTransform
-
-        tf = TrainTransform(size=args.size)
-        if args.pipeline == "grain":
-            from mudpt_tpu.data.grain_pipeline import GrainLoader
-
-            loader = GrainLoader(
-                items, tf, args.batch, shuffle=True, drop_last=True, seed=0
-            )
-        else:
-            from mudpt_tpu.data.loader import DataLoader
-
-            loader = DataLoader(
-                items, tf, args.batch, shuffle=True, drop_last=True,
-                num_workers=args.workers,
-            )
+    loader = build_pipeline_loader(
+        args.pipeline, items, args.batch, args.size, workers=args.workers
+    )
 
     def batches():
         while True:

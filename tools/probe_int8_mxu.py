@@ -7,12 +7,20 @@ Three questions, each answered on the real chip:
   2. does the in-kernel fp32 -> int8 round/clip/convert chain verify?
   3. measured rate of the int8 matmul vs the same-shape bf16 matmul.
 
+Methodology (two failure modes found the hard way, round 3):
+  * a loop of IDENTICAL dots is legally foldable (CSE) -> every iteration
+    must contract a DIFFERENT x slice;
+  * this tunnel's per-dispatch overhead is ~14 ms, swamping any
+    single-call kernel (64 x 1.8 GFLOP = 0.6 ms at peak) -> the kernel
+    runs under a grid of G accumulation steps, timed at TWO grid sizes,
+    and the rate is taken from the WORK/TIME DELTA so the constant
+    per-call overhead cancels.
+
 Run: python tools/probe_int8_mxu.py   (TPU; serial with other chip jobs)
 """
 
 from __future__ import annotations
 
-import functools
 import sys
 import time
 
@@ -27,25 +35,23 @@ def main() -> None:
     from jax.experimental.pallas import tpu as pltpu
 
     S, D, DO = 384, 768, 3072  # MLP-fc-like shape, batched rows
-    ITERS = 64  # matmuls per kernel call, to swamp dispatch overhead
+    ITERS = 16  # distinct x slices contracted per grid step (VMEM-resident)
+    G1, G2 = 64, 320  # grid sizes: rate = d(work)/d(time) between them
 
-    def mm_bf16_kernel(x_ref, w_ref, o_ref):
-        acc = jnp.zeros((S, DO), jnp.float32)
-        for _ in range(ITERS):
-            acc += jax.lax.dot_general(
-                x_ref[...], w_ref[...], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-        o_ref[...] = acc.astype(jnp.bfloat16)
+    def mm_kernel(x_ref, w_ref, o_ref, *, acc_dtype):
+        @pl.when(pl.program_id(0) == 0)
+        def _init():
+            o_ref[...] = jnp.zeros_like(o_ref)
 
-    def mm_int8_kernel(x_ref, w_ref, o_ref):
-        acc = jnp.zeros((S, DO), jnp.int32)
-        for _ in range(ITERS):
+        acc = jnp.zeros((S, DO), acc_dtype)
+        for i in range(ITERS):  # distinct slices: not CSE-foldable
             acc += jax.lax.dot_general(
-                x_ref[...], w_ref[...], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32,
+                x_ref[i], w_ref[...], (((1,), (0,)), ((), ())),
+                preferred_element_type=acc_dtype,
             )
-        o_ref[...] = acc
+        # accumulate across grid steps (int32 wraps at large G: the probe
+        # measures rate, it never reads the accumulated values)
+        o_ref[...] += acc
 
     def quant_kernel(x_ref, q_ref, s_ref):
         """fp32 -> per-row int8: the dynamic-quant chain the real kernels
@@ -57,41 +63,59 @@ def main() -> None:
         q_ref[...] = q.astype(jnp.int8)
         s_ref[...] = s
 
-    cp = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+    cp = pltpu.CompilerParams(
+        vmem_limit_bytes=64 * 1024 * 1024,
+        dimension_semantics=("arbitrary",),
+    )
 
     rng = np.random.RandomState(0)
-    x32 = rng.randn(S, D).astype(np.float32)
+    xs32 = rng.randn(ITERS, S, D).astype(np.float32)
+    x32 = xs32[0]
     w32 = rng.randn(D, DO).astype(np.float32)
-    xb = jnp.asarray(x32, jnp.bfloat16)
+    xb = jnp.asarray(xs32, jnp.bfloat16)
     wb = jnp.asarray(w32, jnp.bfloat16)
-    xq = jnp.asarray(np.clip(np.round(x32 * 10), -127, 127), jnp.int8)
+    xq = jnp.asarray(np.clip(np.round(xs32 * 10), -127, 127), jnp.int8)
     wq = jnp.asarray(np.clip(np.round(w32 * 10), -127, 127), jnp.int8)
 
-    def run(kernel, out_shape, *args):
-        f = pl.pallas_call(kernel, out_shape=out_shape, compiler_params=cp)
-        f = jax.jit(f)
-        o = f(*args)
-        jax.tree_util.tree_map(lambda a: np.asarray(a).ravel()[0], o)
-        t0 = time.perf_counter()
-        REP = 8
-        for _ in range(REP):
-            o = f(*args)
-        jax.tree_util.tree_map(lambda a: np.asarray(a).ravel()[0], o)
-        return (time.perf_counter() - t0) / REP
+    def build(g, acc_dtype, x, w):
+        f = pl.pallas_call(
+            lambda xr, wr, orf: mm_kernel(xr, wr, orf, acc_dtype=acc_dtype),
+            grid=(g,),
+            in_specs=[
+                pl.BlockSpec((ITERS, S, D), lambda i: (0, 0, 0)),
+                pl.BlockSpec((D, DO), lambda i: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((S, DO), lambda i: (0, 0)),
+            out_shape=jax.ShapeDtypeStruct((S, DO), acc_dtype),
+            compiler_params=cp,
+        )
+        return jax.jit(f), x, w
 
-    # 1+3: matmul rates
-    t_bf16 = run(
-        mm_bf16_kernel, jax.ShapeDtypeStruct((S, DO), jnp.bfloat16), xb, wb
-    )
-    macs = S * D * DO * ITERS
-    print(f"bf16  {t_bf16*1e3:8.2f} ms  {2*macs/t_bf16/1e12:7.1f} TFLOP/s")
+    def timed(f, *args, rep=4):
+        o = f(*args)  # compile + warm
+        np.asarray(o).ravel()[0]
+        t0 = time.perf_counter()
+        for _ in range(rep):
+            o = f(*args)
+        np.asarray(o).ravel()[0]  # host fetch: block_until_ready lies here
+        return (time.perf_counter() - t0) / rep
+
+    def rate(acc_dtype, x, w):
+        f1, *a1 = build(G1, acc_dtype, x, w)
+        f2, *a2 = build(G2, acc_dtype, x, w)
+        t1, t2 = timed(f1, *a1), timed(f2, *a2)
+        flops = 2 * S * D * DO * ITERS * (G2 - G1)
+        return flops / (t2 - t1), t1, t2
+
+    # 1+3: matmul rates, dispatch-free via the grid-size delta
+    r_bf16, tb1, tb2 = rate(jnp.float32, xb, wb)
+    print(f"bf16  G={G1}:{tb1*1e3:7.2f} ms  G={G2}:{tb2*1e3:7.2f} ms"
+          f"  -> {r_bf16/1e12:6.1f} TFLOP/s")
 
     try:
-        t_i8 = run(
-            mm_int8_kernel, jax.ShapeDtypeStruct((S, DO), jnp.int32), xq, wq
-        )
-        print(f"int8  {t_i8*1e3:8.2f} ms  {2*macs/t_i8/1e12:7.1f} TOP/s "
-              f" -> {t_bf16/t_i8:.2f}x bf16")
+        r_i8, ti1, ti2 = rate(jnp.int32, xq, wq)
+        print(f"int8  G={G1}:{ti1*1e3:7.2f} ms  G={G2}:{ti2*1e3:7.2f} ms"
+              f"  -> {r_i8/1e12:6.1f} TOP/s  = {r_i8/r_bf16:.2f}x bf16")
     except Exception as e:  # noqa: BLE001
         print(f"int8 matmul FAILED to lower: {type(e).__name__}: {e}")
 
@@ -103,7 +127,9 @@ def main() -> None:
                 jax.ShapeDtypeStruct((S, D), jnp.int8),
                 jax.ShapeDtypeStruct((S, 1), jnp.float32),
             ),
-            compiler_params=cp,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024
+            ),
         ))
         q, s = f(jnp.asarray(x32))
         qn, sn = np.asarray(q), np.asarray(s)
