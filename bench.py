@@ -112,14 +112,19 @@ def main() -> None:
                     "with host->device prefetch (the BASELINE.json north-star "
                     "pipeline), reporting the H2D ceiling alongside.")
     ap.add_argument("--n-jpegs", type=int, default=2048)
-    ap.add_argument("--quant", choices=["none", "int8", "int8_ste"],
+    ap.add_argument("--quant",
+                    choices=["none", "int8", "int8_static", "int8_ste"],
                     default="none",
                     help="int8 (eval-mode only): post-training W8A8 "
                     "quantization of the block projection matmuls "
-                    "(ops/quant_block.py).  int8_ste (train mode): "
-                    "quantization-aware prompt tuning — the same int8 "
-                    "forward with a straight-through backward, training "
-                    "prompts against the numerics that will serve them.")
+                    "(ops/quant_block.py).  int8_static (eval-mode only): "
+                    "W8A8 with static activation scales calibrated on the "
+                    "bench batch — no per-row quant chain in the kernel "
+                    "(docs/BENCHMARKS.md session 8).  int8_ste (train "
+                    "mode): quantization-aware prompt tuning — the same "
+                    "int8 forward with a straight-through backward, "
+                    "training prompts against the numerics that will "
+                    "serve them.")
     ap.add_argument("--mode", choices=["train", "eval"], default="train",
                     help="train: the headline train-step bench. eval: the "
                     "inference/serving path (argmax eval step), reporting "
@@ -130,10 +135,10 @@ def main() -> None:
     # accelerator probe: a bad flag combination must fail immediately
     if args.mode == "eval" and args.input != "resident":
         ap.error("--mode eval supports --input resident only")
-    if args.quant == "int8" and args.mode != "eval":
-        ap.error("--quant int8 is inference-only; use with --mode eval "
-                 "(the quantized blocks have no backward) — for training, "
-                 "--quant int8_ste is the straight-through variant")
+    if args.quant in ("int8", "int8_static") and args.mode != "eval":
+        ap.error(f"--quant {args.quant} is inference-only; use with --mode "
+                 "eval (the quantized blocks have no backward) — for "
+                 "training, --quant int8_ste is the straight-through variant")
     if args.quant == "int8_ste" and args.mode != "train":
         ap.error("--quant int8_ste is the TRAINING variant; for serving "
                  "use --quant int8 (identical forward, no save writes)")
@@ -272,6 +277,44 @@ def _run_eval(args) -> None:
     txt = st.text_features(st.trainable, st.params, st.aux)
     np.asarray(txt)[0, 0]  # force (block_until_ready returns early here)
 
+    if args.quant == "int8_static":
+        # calibrate static activation scales for the VISION tower on the
+        # bench batch (the text tower's features are cached above; its
+        # per-batch re-encode in eval_step_full stays dynamic-quantized)
+        import functools
+
+        import jax.numpy as jnp
+
+        from mudpt_tpu.ops import quant_block as QB
+        from mudpt_tpu.trainers.mudpt import mudpt_image_logits
+
+        fwd = functools.partial(
+            mudpt_image_logits, clip_cfg=st.clip_cfg,
+            compute_dtype=jnp.bfloat16,
+        )
+        scales = QB.calibrate(
+            fwd, st.trainable, st.params, st.aux, st.images, txt
+        )
+        st.params["visual"]["blocks"] = QB.attach_scales(
+            st.params["visual"]["blocks"], scales
+        )
+        # text tower too: only the uncached (per-batch re-encode) loop
+        # runs it, but that row is part of the report
+        from mudpt_tpu.trainers.mudpt import mudpt_text_features
+
+        tfwd = functools.partial(
+            mudpt_text_features, clip_cfg=st.clip_cfg,
+            compute_dtype=jnp.bfloat16,
+        )
+        tscales = QB.calibrate(tfwd, st.trainable, st.params, st.aux)
+        st.params["text"]["blocks"] = QB.attach_scales(
+            st.params["text"]["blocks"], tscales
+        )
+        # re-encode the cached features under the static tier so the
+        # cached and uncached rows serve identical numerics
+        txt = st.text_features(st.trainable, st.params, st.aux)
+        np.asarray(txt)[0, 0]
+
     def time_loop(fn, *extra):
         preds = None
         for _ in range(warmup):
@@ -300,14 +343,17 @@ def _run_eval(args) -> None:
         clip_cfg.vision_width, args.batch,
     )
     peak = float(os.environ.get("TPU_PEAK_FLOPS", 197e12))  # v5e bf16
-    if args.quant == "int8":
+    if args.quant.startswith("int8"):
         peak *= 2  # v5e MXU int8 rate (394 TOPS); MFU against the int8 peak
+    qlabel = {"int8": "int8", "int8_static": "int8-static"}.get(
+        args.quant, "bf16"
+    )
     print(
         json.dumps(
             {
                 "metric": (
                     f"MuDPT {args.model} inference throughput "
-                    f"({'int8' if args.quant == 'int8' else 'bf16'}, batch "
+                    f"({qlabel}, batch "
                     f"{args.batch}, n_cls {args.n_cls}, cached text features)"
                 ),
                 "value": round(ips_cached, 2),

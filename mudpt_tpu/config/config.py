@@ -121,9 +121,12 @@ class TrainCfg:
     # batch position), exit cleanly; RESUME continues bit-identically
     CHECKPOINT_ON_SIGTERM: bool = True
     # Block quantization (ops/quant_block.py; Pallas impl only):
-    # 'int8' = W8A8 serving/eval forward (inference-only — use with
-    # --eval_only / ZeroshotCLIP); 'int8_ste' = quantization-aware prompt
-    # tuning (same int8 forward + straight-through backward)
+    # 'int8' = W8A8 serving/eval forward, dynamic per-row activation
+    # scales (inference-only — use with --eval_only / ZeroshotCLIP);
+    # 'int8_static' = same, with per-tensor scales calibrated on one
+    # training batch at build (no per-row quant chain in the kernel);
+    # 'int8_ste' = quantization-aware prompt tuning (same int8 forward +
+    # straight-through backward)
     QUANT: str = "none"
 
 

@@ -16,12 +16,41 @@ MXU without transposes.
 
 from __future__ import annotations
 
+import contextlib
 import os
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 from jax.ad_checkpoint import checkpoint_name
+
+
+# Activation-calibration capture (static int8 serving, ops/quant_block.py):
+# while a sink list is installed, the XLA-path attention/mlp record the
+# absmax of each of the four quantization sites (LN1 out, pre-out-proj MHA
+# accumulation, LN2 out, post-GELU) — 4 scalars per residual block, in
+# block call order.  The values are tracers when captured under jit; the
+# calibration wrapper returns them as outputs (quant_block.calibrate).
+_CALIB_SINK: Optional[list] = None
+
+
+@contextlib.contextmanager
+def calibration_capture(sink: list):
+    """Install an activation-absmax sink and force the plain-XLA,
+    unquantized block path for the duration (the capture sites live in
+    :func:`attention`/:func:`mlp`, which the Pallas kernels bypass)."""
+    global _CALIB_SINK, _BLOCK_IMPL, _QUANT_MODE
+    prev = (_CALIB_SINK, _BLOCK_IMPL, _QUANT_MODE)
+    _CALIB_SINK, _BLOCK_IMPL, _QUANT_MODE = sink, "xla", "none"
+    try:
+        yield
+    finally:
+        _CALIB_SINK, _BLOCK_IMPL, _QUANT_MODE = prev
+
+
+def _calib_record(x: jax.Array) -> None:
+    if _CALIB_SINK is not None:
+        _CALIB_SINK.append(jnp.max(jnp.abs(x.astype(jnp.float32))))
 
 
 _LN_DTYPE = os.environ.get("MUDPT_TPU_LN", "fp32")  # fp32 (parity) | bf16 (experiment)
@@ -66,6 +95,7 @@ def attention(
     """
     B, S, D = x.shape
     head_dim = D // n_head
+    _calib_record(x)  # site 1: QKV matmul input (LN1 output)
     qkv = jnp.dot(x, p["qkv_w"].astype(x.dtype)) + p["qkv_b"].astype(x.dtype)
     qkv = qkv.reshape(B, S, 3, n_head, head_dim)
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, S, H, hd)
@@ -86,12 +116,15 @@ def attention(
     probs = checkpoint_name(probs, "attn_probs")
     out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
     out = out.transpose(0, 2, 1, 3).reshape(B, S, D)
+    _calib_record(out)  # site 2: out-projection input (MHA accumulation)
     return jnp.dot(out, p["out_w"].astype(x.dtype)) + p["out_b"].astype(x.dtype)
 
 
 def mlp(p, x: jax.Array) -> jax.Array:
+    _calib_record(x)  # site 3: fc matmul input (LN2 output)
     h = jnp.dot(x, p["fc_w"].astype(x.dtype)) + p["fc_b"].astype(x.dtype)
     h = quick_gelu(h)
+    _calib_record(h)  # site 4: proj matmul input (post-GELU)
     return jnp.dot(h, p["proj_w"].astype(x.dtype)) + p["proj_b"].astype(x.dtype)
 
 
@@ -138,9 +171,14 @@ def resolve_block_impl() -> str:
     return _BLOCK_IMPL
 
 
-# Block quantization mode ('none' | 'int8' | 'int8_ste').  'int8' runs
-# every block's projection matmuls as s8 x s8 -> s32 W8A8 kernels —
-# serving/eval only, differentiation raises.  'int8_ste' is
+# Block quantization mode ('none' | 'int8' | 'int8_static' | 'int8_ste').
+# 'int8' runs every block's projection matmuls as s8 x s8 -> s32 W8A8
+# kernels — serving/eval only, differentiation raises.  'int8_static' is
+# the calibrated variant: blocks whose stacked params carry a 'q8_scales'
+# leaf (quant_block.calibrate + attach_scales) quantize activations with
+# static per-tensor scales — no in-kernel max-reduce/divide, the full
+# dynamic-quant VPU residual reclaimed (docs/BENCHMARKS.md session 8) —
+# and uncalibrated blocks fall back to the dynamic recipe.  'int8_ste' is
 # quantization-aware prompt tuning: the SAME int8 forward plus a
 # straight-through backward (the bf16 save-acts layer backward over the
 # quantized forward's saved intermediates), so prompts train against the
@@ -149,7 +187,7 @@ _QUANT_MODE = os.environ.get("MUDPT_TPU_QUANT", "none")
 
 
 def set_quant_mode(name: str) -> None:
-    assert name in ("none", "int8", "int8_ste"), name
+    assert name in ("none", "int8", "int8_static", "int8_ste"), name
     global _QUANT_MODE
     _QUANT_MODE = name
 
@@ -186,6 +224,12 @@ def residual_block(p, x: jax.Array, n_head: int, mask=None, causal=False) -> jax
             from mudpt_tpu.ops.quant_block import residual_block_q8_ste
 
             return residual_block_q8_ste(p, x, n_head, causal)
+        if _QUANT_MODE == "int8_static" and "q8_scales" in p:
+            from mudpt_tpu.ops.quant_block import residual_block_q8_static
+
+            return residual_block_q8_static(p, x, n_head, causal)
+        # 'int8', or 'int8_static' on a tower without calibrated scales
+        # (e.g. the per-instance CoCoOp text encode): dynamic per-row quant
         from mudpt_tpu.ops.quant_block import residual_block_q8
 
         return residual_block_q8(p, x, n_head, causal)

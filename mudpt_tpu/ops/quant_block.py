@@ -349,6 +349,191 @@ def residual_block_q8_ste(p, x: jax.Array, n_head: int, causal=False) -> jax.Arr
     )
 
 
+# ---------------------------------------------------------------------------
+# Static-scale (calibrated) activation quantization
+#
+# The dynamic per-row recipe pays a VPU chain per quant site (abs ->
+# max-reduce -> divide -> round -> clip -> convert) plus a per-row dequant
+# multiply.  A dispatch-free on-chip decomposition (tools/probe_q8_residual.py,
+# docs/BENCHMARKS.md session 8) measured that chain at 0.117 ms/layer (6.3%
+# of the q8 ViT-B layer) — and that per-TENSOR static scales recover ALL of
+# it: no max-reduce, the row scale folds into the per-channel weight scale,
+# landing at the kernel's bare-int8 floor.  The price is calibration data
+# (scales come from observed activation maxima — :func:`calibrate`) and
+# saturation of any activation that exceeds its calibrated range.
+# ---------------------------------------------------------------------------
+
+
+def _layer_fwd_q8_static_kernel(
+    x_ref,
+    ln1_s, ln1_b, qkv_wq, qkv_ws, qkv_b, out_wq, out_ws, out_b,
+    ln2_s, ln2_b, fc_wq, fc_ws, fc_b, proj_wq, proj_ws, proj_b,
+    r_ref, y_ref, acc_ref, *, n_head, causal,
+):
+    """The q8 layer forward with STATIC activation scales: ``r_ref`` is
+    (1, 4) fp32 quant multipliers (127/absmax per site); the matching
+    dequant factors (absmax/127) are pre-folded into the weight scales by
+    :func:`residual_block_q8_static`, so dequant is one multiply."""
+    x = x_ref[0]
+    r = r_ref[...]  # (1, 4) fp32
+
+    def quant_static(x32, i):
+        q = jnp.clip(jnp.round(x32 * r[0, i]), -127.0, 127.0)
+        return q.astype(jnp.int8)
+
+    def matmul_static(xq, wq, ws, b):
+        acc = jax.lax.dot_general(
+            xq, wq[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        return acc.astype(jnp.float32) * ws[...] + b[...].astype(jnp.float32)
+
+    xn, _, _ = _ln_fp32(x, ln1_s[...], ln1_b[...])
+    qkv = matmul_static(
+        quant_static(xn, 0), qkv_wq, qkv_ws, qkv_b
+    ).astype(x.dtype)
+    _mha_acc(qkv, acc_ref, n_head=n_head, causal=causal, act_dtype=x.dtype)
+    x1 = x + matmul_static(
+        quant_static(acc_ref[...], 1), out_wq, out_ws, out_b
+    ).astype(x.dtype)
+    x2n, _, _ = _ln_fp32(x1, ln2_s[...], ln2_b[...])
+    h = matmul_static(quant_static(x2n, 2), fc_wq, fc_ws, fc_b)
+    g = _quick_gelu(h)
+    y_ref[0] = x1 + matmul_static(
+        quant_static(g, 3), proj_wq, proj_ws, proj_b
+    ).astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(18, 19))
+def layer_fullblock_q8_static(
+    x,
+    ln1_s, ln1_b, qkv_wq, qkv_ws, qkv_b, out_wq, out_ws, out_b,
+    ln2_s, ln2_b, fc_wq, fc_ws, fc_b, proj_wq, proj_ws, proj_b,
+    r,
+    n_head: int, causal=False,
+):
+    """Static-scale q8 layer.  ``r`` is (1, 4) fp32 quant multipliers and
+    the ``*_ws`` weight scales must already carry the per-site dequant
+    factor (see :func:`residual_block_q8_static`).  Inference-only."""
+    B, S, D = x.shape
+    params = (
+        ln1_s, ln1_b, qkv_wq, qkv_ws, qkv_b, out_wq, out_ws, out_b,
+        ln2_s, ln2_b, fc_wq, fc_ws, fc_b, proj_wq, proj_ws, proj_b, r,
+    )
+    specs = [_row(S, D)] + [_spec_of(p) for p in params]
+    out_shape = jax.ShapeDtypeStruct((B, S, D), x.dtype)
+    return pl.pallas_call(
+        functools.partial(
+            _layer_fwd_q8_static_kernel, n_head=n_head, causal=causal
+        ),
+        grid=(B,),
+        in_specs=specs,
+        out_specs=_row_spec_of(out_shape),
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((S, D), jnp.float32)],
+        compiler_params=_COMPILER_PARAMS,
+        interpret=_interpret(),
+    )(x, *params)
+
+
+def _q8_static_fwd_vjp(
+    x,
+    ln1_s, ln1_b, qkv_wq, qkv_ws, qkv_b, out_wq, out_ws, out_b,
+    ln2_s, ln2_b, fc_wq, fc_ws, fc_b, proj_wq, proj_ws, proj_b,
+    r, n_head, causal,
+):
+    y = layer_fullblock_q8_static(
+        x,
+        ln1_s, ln1_b, qkv_wq, qkv_ws, qkv_b, out_wq, out_ws, out_b,
+        ln2_s, ln2_b, fc_wq, fc_ws, fc_b, proj_wq, proj_ws, proj_b,
+        r, n_head, causal,
+    )
+    return y, None
+
+
+layer_fullblock_q8_static.defvjp(_q8_static_fwd_vjp, _q8_bwd)
+
+
+def residual_block_q8_static(p, x: jax.Array, n_head: int, causal=False) -> jax.Array:
+    """The q8 layer with CALIBRATED static activation scales: ``p`` must
+    carry a ``q8_scales`` (4,) fp32 leaf of per-site activation absmaxima
+    (:func:`calibrate` + :func:`attach_scales`).  Weight quantization and
+    the dequant-scale folding are traced jnp — XLA hoists them; the kernel
+    itself has NO per-row scale work (docs/BENCHMARKS.md session 8)."""
+    amax = jnp.maximum(p["q8_scales"].astype(jnp.float32), 1e-8)  # (4,)
+    r = (127.0 / amax).reshape(1, 4)
+    dq = amax / 127.0  # per-site dequant factor, folded into weight scales
+    qkv_wq, qkv_ws = quantize_cols(p["attn"]["qkv_w"])
+    out_wq, out_ws = quantize_cols(p["attn"]["out_w"])
+    fc_wq, fc_ws = quantize_cols(p["mlp"]["fc_w"])
+    proj_wq, proj_ws = quantize_cols(p["mlp"]["proj_w"])
+    return layer_fullblock_q8_static(
+        x,
+        p["ln_1"]["scale"], p["ln_1"]["bias"],
+        qkv_wq, qkv_ws * dq[0], p["attn"]["qkv_b"],
+        out_wq, out_ws * dq[1], p["attn"]["out_b"],
+        p["ln_2"]["scale"], p["ln_2"]["bias"],
+        fc_wq, fc_ws * dq[2], p["mlp"]["fc_b"],
+        proj_wq, proj_ws * dq[3], p["mlp"]["proj_b"],
+        r, n_head, causal,
+    )
+
+
+def calibrate(forward_fn, *args, with_output: bool = False, **kwargs):
+    """Run ``forward_fn(*args, **kwargs)`` under activation-absmax capture
+    and return (n_blocks, 4) fp32 per-site scales in block call order
+    (with ``with_output=True``: ``(scales, forward_output)`` — the output
+    is computed on the same unquantized XLA pass the capture rides).
+
+    The capture forces the plain-XLA unquantized block path
+    (models/layers.calibration_capture), so pass the UNJITTED forward —
+    a pre-traced jit would bypass the capture sites.  Each residual block
+    contributes absmaxima of its four quant sites (QKV input, MHA
+    accumulation, fc input, post-GELU), reduced over every batch/sequence
+    element.  Combine multiple calibration batches with
+    ``jnp.maximum(s1, s2)``; attach to a tower with :func:`attach_scales`.
+    """
+    from mudpt_tpu.models import layers as L
+
+    def wrapped(*a, **k):
+        sink: list = []
+        with L.calibration_capture(sink):
+            out = forward_fn(*a, **k)
+        if not sink:
+            raise ValueError(
+                "calibration forward ran no residual blocks — pass the "
+                "unjitted model forward (a pre-traced jit bypasses the "
+                "capture sites in models/layers.attention/mlp)"
+            )
+        if len(sink) % 4:
+            raise AssertionError(
+                f"capture recorded {len(sink)} site values (not a multiple "
+                "of 4) — the block call pattern is not attention+mlp pairs"
+            )
+        scales = jnp.stack(sink).reshape(-1, 4)
+        return (scales, out) if with_output else scales
+
+    return jax.jit(wrapped)(*args, **kwargs)
+
+
+def attach_scales(blocks: dict, scales: jax.Array) -> dict:
+    """Return ``blocks`` (a stacked (L, ...) block pytree) with a
+    ``q8_scales`` (L, 4) leaf attached; transformer_forward's per-layer
+    slice then hands each block its (4,) row and residual_block dispatches
+    to the static kernel under quant mode 'int8_static'."""
+    scales = jnp.asarray(scales, jnp.float32)
+    n_layers = jax.tree_util.tree_leaves(
+        {k: v for k, v in blocks.items() if k != "q8_scales"}
+    )[0].shape[0]
+    if scales.shape != (n_layers, 4):
+        raise ValueError(
+            f"scales shape {scales.shape} != ({n_layers}, 4) for this tower"
+        )
+    out = dict(blocks)
+    out["q8_scales"] = scales
+    return out
+
+
 def residual_block_q8(p, x: jax.Array, n_head: int, causal=False) -> jax.Array:
     """Quantize a block's projection weights per-channel (traced; XLA
     fuses and the cost is one weight read) and run the int8 layer kernel.

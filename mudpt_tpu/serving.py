@@ -58,7 +58,10 @@ def _block_impl(name: str):
         # TPU (ops/fused_block._interpret); a pallas artifact must embed the
         # real Mosaic custom calls even when exported from a CPU host
         layers.set_platform_hint("tpu")
-        layers.set_quant_mode("int8" if name == "pallas_int8" else "none")
+        layers.set_quant_mode(
+            {"pallas_int8": "int8", "pallas_int8_static": "int8_static"}
+            .get(name, "none")
+        )
     else:
         layers.set_block_impl(name)
         # an ambient quant mode (env opt-in or a TRAIN.QUANT trainer built
@@ -117,7 +120,7 @@ def export_classifier(
     import numpy as np
     from jax import export as jexport
 
-    if block_impl in ("pallas", "pallas_int8"):
+    if block_impl in ("pallas", "pallas_int8", "pallas_int8_static"):
         if platforms is None:
             platforms = ("tpu",)
         if list(platforms) != ["tpu"]:
@@ -132,8 +135,8 @@ def export_classifier(
             )
     elif block_impl != "xla":
         raise ValueError(
-            "block_impl must be 'xla', 'pallas', or 'pallas_int8', "
-            f"got {block_impl!r}"
+            "block_impl must be 'xla', 'pallas', 'pallas_int8', or "
+            f"'pallas_int8_static', got {block_impl!r}"
         )
     platforms = list(platforms or ("cpu", "tpu"))
     leaves, treedef = jax.tree_util.tree_flatten(operands)
@@ -199,7 +202,8 @@ def export_classifier(
 
 def export_trainer(path: str, trainer, *, batch: Optional[int] = None,
                    platforms: Optional[Sequence[str]] = None,
-                   block_impl: str = "xla") -> None:
+                   block_impl: str = "xla",
+                   calib_images=None) -> None:
     """Export a built trainer's inference path.
 
     Text features are encoded ONCE at export time whenever the method's
@@ -207,6 +211,13 @@ def export_trainer(path: str, trainer, *, batch: Optional[int] = None,
     split ``evaluate()`` uses), so the artifact's per-batch cost is the
     vision tower plus one matmul.  CoCoOp exports its full forward (its
     prompts are instance-conditional) and requires a pinned ``batch``.
+
+    ``block_impl='pallas_int8_static'`` bakes CALIBRATED static activation
+    scales into the artifact (ops/quant_block.py — reclaims the dynamic
+    quant chain's VPU cost, docs/BENCHMARKS.md session 8): pass
+    ``calib_images``, a float32 (N, H, W, 3) batch of representative
+    PREPROCESSED images (same contract as ``predict``); activation maxima
+    are collected over it at export time.
     """
     n_cls = trainer.num_classes
     ops = {
@@ -268,13 +279,42 @@ def export_trainer(path: str, trainer, *, batch: Optional[int] = None,
 
         return score(o, images.astype(trainer.compute_dtype)).astype(jnp.float32)
 
+    extra_meta = {"trainer": trainer.cfg.TRAINER.NAME}
+    if block_impl == "pallas_int8_static":
+        if inference is None and text_fn is None:
+            raise ValueError(
+                "pallas_int8_static needs image-independent prompts to "
+                "calibrate the vision tower (this trainer re-encodes text "
+                "per instance); use block_impl='pallas_int8' (dynamic "
+                "activation scales)"
+            )
+        if calib_images is None:
+            raise ValueError(
+                "pallas_int8_static requires calib_images: a float32 "
+                "(N, H, W, 3) batch of representative preprocessed images "
+                "to calibrate the static activation scales on"
+            )
+        import jax.numpy as jnp
+
+        from mudpt_tpu.ops import quant_block as QB
+
+        scales = QB.calibrate(
+            cast_score, ops, jnp.asarray(calib_images, jnp.float32)
+        )
+        vis = dict(ops["frozen"]["visual"])
+        vis["blocks"] = QB.attach_scales(vis["blocks"], scales)
+        ops["frozen"] = dict(ops["frozen"], visual=vis)
+        extra_meta["calibration"] = {"n_images": int(len(calib_images))}
+    elif calib_images is not None:
+        raise ValueError("calib_images is only used by pallas_int8_static")
+
     res = trainer.clip_cfg.image_resolution
     kwargs = dict(
         image_shape=(res, res, 3),
         classnames=list(trainer.classnames),
         batch=batch,
         platforms=platforms,
-        extra_meta={"trainer": trainer.cfg.TRAINER.NAME},
+        extra_meta=extra_meta,
         block_impl=block_impl,
     )
     try:
@@ -298,6 +338,7 @@ def export_zero_shot(
     platforms: Optional[Sequence[str]] = None,
     compute_dtype=None,
     block_impl: str = "xla",
+    calib_images=None,
 ) -> None:
     """Export a template-ensembled zero-shot classifier (api.zero_shot_classifier
     semantics: text tower encoded once at export, reference zsclip.py:105-115).
@@ -323,6 +364,24 @@ def export_zero_shot(
             None, o["params"], {"text_features": o["txt"]}, images,
             clip_cfg=clip_cfg, compute_dtype=compute_dtype,
         ).astype(jnp.float32)
+
+    if block_impl == "pallas_int8_static":
+        if calib_images is None:
+            raise ValueError(
+                "pallas_int8_static requires calib_images (float32 "
+                "(N, H, W, 3) preprocessed batch) to calibrate on"
+            )
+        from mudpt_tpu.ops import quant_block as QB
+
+        ops0 = {"params": params, "txt": txt}
+        scales = QB.calibrate(
+            score, ops0, jnp.asarray(calib_images, jnp.float32)
+        )
+        vis = dict(params["visual"])
+        vis["blocks"] = QB.attach_scales(vis["blocks"], scales)
+        params = dict(params, visual=vis)
+    elif calib_images is not None:
+        raise ValueError("calib_images is only used by pallas_int8_static")
 
     export_classifier(
         path,

@@ -125,11 +125,12 @@ class TrainerBase:
         set_platform_hint(self.mesh.mesh.devices.flat[0].platform)
         from mudpt_tpu.models.layers import set_quant_mode
 
-        if cfg.TRAIN.QUANT not in ("none", "int8", "int8_ste"):
+        if cfg.TRAIN.QUANT not in ("none", "int8", "int8_static", "int8_ste"):
             raise ValueError(
-                f"TRAIN.QUANT must be 'none', 'int8' (eval-only), or "
-                f"'int8_ste' (quantization-aware training); got "
-                f"{cfg.TRAIN.QUANT!r}"
+                f"TRAIN.QUANT must be 'none', 'int8' (eval-only, dynamic "
+                f"activation scales), 'int8_static' (eval-only, scales "
+                f"calibrated on a training batch), or 'int8_ste' "
+                f"(quantization-aware training); got {cfg.TRAIN.QUANT!r}"
             )
         # the mode is process-global: set it on EVERY build so a 'none'
         # trainer clears a mode left by a previous build in the same
@@ -172,6 +173,10 @@ class TrainerBase:
         if self.trainable is not None:
             self._build_train_state()
         self._jit_steps()
+        from mudpt_tpu.models.layers import quant_mode
+
+        if quant_mode() == "int8_static":
+            self._calibrate_static_quant()
 
     # ------------------------------------------------------------------
     # model plumbing helpers for subclasses
@@ -224,6 +229,53 @@ class TrainerBase:
         self.trainable = (
             replicate(self.mesh, trainable) if trainable is not None else None
         )
+
+    # ------------------------------------------------------------------
+    def _calibrate_static_quant(self):
+        """TRAIN.QUANT 'int8_static': calibrate per-tensor activation
+        scales on one training batch and attach them to the frozen tower
+        params (ops/quant_block.py — the static kernels skip the dynamic
+        per-row quant chain; docs/BENCHMARKS.md session 8).  Towers
+        without scales (e.g. an RN visual trunk) serve under the dynamic
+        int8 recipe — the documented fallback."""
+        from mudpt_tpu.ops import quant_block as QB
+
+        fwd_text = getattr(self, "forward_text", None)
+        inference = getattr(self, "model_inference", None)
+        if fwd_text is None and inference is None:
+            raise ValueError(
+                "TRAIN.QUANT 'int8_static' needs image-independent text "
+                "features to calibrate on (this trainer re-encodes text "
+                "per instance); use TRAIN.QUANT 'int8' (dynamic scales)"
+            )
+        batch = next(iter(self.dm.train_loader))
+        images = jnp.asarray(batch["image"], self.compute_dtype)
+        frozen = dict(self.frozen)
+        if inference is not None:  # ZeroshotCLIP*: text cached in aux
+            vscales = QB.calibrate(
+                inference, self.trainable, self.frozen, self.aux, images
+            )
+        else:
+            tscales, txt = QB.calibrate(
+                fwd_text, self.trainable, self.frozen, self.aux,
+                with_output=True,
+            )
+            if isinstance(frozen.get("text"), dict) and "blocks" in frozen["text"]:
+                frozen["text"] = dict(
+                    frozen["text"],
+                    blocks=QB.attach_scales(frozen["text"]["blocks"], tscales),
+                )
+            vscales = QB.calibrate(
+                self.forward_image, self.trainable, self.frozen, self.aux,
+                images, txt,
+            )
+        if isinstance(frozen.get("visual"), dict) and "blocks" in frozen["visual"]:
+            frozen["visual"] = dict(
+                frozen["visual"],
+                blocks=QB.attach_scales(frozen["visual"]["blocks"], vscales),
+            )
+        self.frozen = replicate(self.mesh, frozen)
+        self._static_calibrated = True
 
     # ------------------------------------------------------------------
     def _build_train_state(self):
@@ -859,6 +911,16 @@ class TrainerBase:
             f"(epoch={int(ckpt_epoch)})"
         )
         self.trainable = replicate(self.mesh, host_tree)
+        # static int8: activation ranges depend (mildly) on the prompts —
+        # recalibrate against the loaded weights.  Build-time warm starts
+        # run before the first calibration, so this only fires for
+        # post-build loads (--eval_only, base->new transfer).
+        from mudpt_tpu.models.layers import quant_mode
+
+        if quant_mode() == "int8_static" and getattr(
+            self, "_static_calibrated", False
+        ):
+            self._calibrate_static_quant()
 
     # -- abstract -------------------------------------------------------
     # subclasses must set self.forward (a pure function) in build_model()

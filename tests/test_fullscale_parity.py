@@ -336,3 +336,56 @@ def test_fullscale_vitl14_zeroshot_parity(torch_mods, monkeypatch):
     b = np.asarray(ours16, np.float64)
     rel = np.abs(a - b).max() / np.abs(a).max()
     assert rel < 0.05, f"bf16-vs-reference drift too large at L/14: {rel:.4f}"
+
+
+def test_fullscale_int8_static_drift_vs_reference(zeroshot_fullscale, monkeypatch):
+    """The CALIBRATED static-scale int8 tier at full scale, against the
+    reference's fp32 logits: per-tensor activation scales are coarser
+    than the dynamic tier's per-row scales, so the bound is looser (the
+    dynamic tier pins 10%); margin-decisive top-1 rows must still
+    survive.  Scales are calibrated on the test batch itself — the
+    in-distribution case an exported artifact's calibration set models."""
+    from mudpt_tpu.models import layers as L
+    from mudpt_tpu.ops import quant_block as QB
+
+    clip_cfg, params, tokens, images, ref_logits = zeroshot_fullscale
+    p16 = cast_matmul_weights(params, jnp.bfloat16)
+    imgs = jnp.asarray(images.transpose(0, 2, 3, 1))
+    toks = jnp.asarray(tokens)
+
+    scales = QB.calibrate(
+        lambda im, tk: clip_forward(
+            p16, im, tk, clip_cfg, compute_dtype=jnp.bfloat16
+        )[0],
+        imgs, toks,
+    )
+    nv, nt = clip_cfg.vision_layers, clip_cfg.transformer_layers
+    assert scales.shape == (nv + nt, 4)  # visual tower traces first
+    p16s = dict(
+        p16,
+        visual=dict(
+            p16["visual"],
+            blocks=QB.attach_scales(p16["visual"]["blocks"], scales[:nv]),
+        ),
+        text=dict(
+            p16["text"],
+            blocks=QB.attach_scales(p16["text"]["blocks"], scales[nv:]),
+        ),
+    )
+
+    monkeypatch.setattr(L, "_BLOCK_IMPL", "pallas")
+    monkeypatch.setattr(L, "_QUANT_MODE", "int8_static")
+    ours, _ = clip_forward(
+        p16s, imgs, toks, clip_cfg, compute_dtype=jnp.bfloat16
+    )
+    a = np.asarray(ref_logits, np.float64)
+    b = np.asarray(ours, np.float64)
+
+    band = np.abs(a - b).max()
+    rel = band / np.abs(a).max()
+    assert rel < 0.15, f"static-int8-vs-reference drift too large: {rel:.4f}"
+
+    sorted_ref = np.sort(a, axis=-1)
+    margin = sorted_ref[:, -1] - sorted_ref[:, -2]
+    decisive = margin > band
+    assert (a.argmax(-1)[decisive] == b.argmax(-1)[decisive]).all()

@@ -413,3 +413,224 @@ def test_quant_mode_clears_on_plain_build(tmp_path, monkeypatch):
     finally:
         L._BLOCK_IMPL = prev_impl
         L.set_quant_mode(prev_q)
+
+
+# ---------------------------------------------------------------------------
+# Static-scale (calibrated) activation quantization — 'int8_static'
+# ---------------------------------------------------------------------------
+
+
+def test_calibrate_sites_and_shapes():
+    """calibrate() returns (n_blocks, 4) absmaxima in site order; sites 1
+    and 3 (the two LN outputs) are checked against hand-computed values."""
+    rng = np.random.RandomState(10)
+    D, S, H, B = 64, 24, 2, 3
+    p = _params(rng, D)
+    x = jnp.asarray(rng.randn(B, S, D), jnp.float32)
+
+    scales = np.asarray(QB.calibrate(lambda xx: _ref_layer(p, xx, H), x))
+    assert scales.shape == (1, 4) and (scales > 0).all()
+
+    a1 = np.abs(np.asarray(layer_norm(p["ln_1"], x))).max()
+    np.testing.assert_allclose(scales[0, 0], a1, rtol=1e-6)
+    x1 = x + attention(p["attn"], layer_norm(p["ln_1"], x), H)
+    a3 = np.abs(np.asarray(layer_norm(p["ln_2"], x1))).max()
+    np.testing.assert_allclose(scales[0, 2], a3, rtol=1e-6)
+
+
+def test_calibration_capture_restores_globals():
+    from mudpt_tpu.models import layers as LL
+
+    prev = (LL._CALIB_SINK, LL._BLOCK_IMPL, LL._QUANT_MODE)
+    sink = []
+    with pytest.raises(RuntimeError):
+        with LL.calibration_capture(sink):
+            assert LL.resolve_block_impl() == "xla"
+            assert LL.quant_mode() == "none"
+            raise RuntimeError("boom")
+    assert (LL._CALIB_SINK, LL._BLOCK_IMPL, LL._QUANT_MODE) == prev
+
+
+def test_static_layer_close_to_fp32():
+    """Calibrated static scales: one q8_static layer tracks the fp32
+    reference about as well as the dynamic tier (per-tensor scales are
+    coarser than per-row, so the bound is looser)."""
+    rng = np.random.RandomState(11)
+    D, S, H, B = 64, 40, 2, 3
+    p = _params(rng, D)
+    x = jnp.asarray(rng.randn(B, S, D), jnp.float32)
+
+    scales = QB.calibrate(lambda xx: _ref_layer(p, xx, H), x)
+    ps = dict(p, q8_scales=scales[0])
+    ref = np.asarray(_ref_layer(p, x, H))
+    got = np.asarray(QB.residual_block_q8_static(ps, x, H, False))
+    rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+    assert rel < 0.04, f"relative L2 error {rel:.4f}"
+    cos = (got.ravel() @ ref.ravel()) / (
+        np.linalg.norm(got) * np.linalg.norm(ref)
+    )
+    assert cos > 0.998
+
+
+def test_static_dispatch_and_dynamic_fallback():
+    """Quant mode 'int8_static': a block WITH a q8_scales leaf runs the
+    static kernel (different quantization grid than dynamic); a block
+    WITHOUT one falls back bit-exactly to the dynamic tier (the
+    uncalibrated-tower path, e.g. CoCoOp's per-instance text encode)."""
+    rng = np.random.RandomState(12)
+    D, S, H = 64, 24, 2
+    p = _params(rng, D)
+    x = jnp.asarray(rng.randn(2, S, D), jnp.float32)
+    scales = QB.calibrate(lambda xx: _ref_layer(p, xx, H), x)
+
+    prev_impl, prev_q = L._BLOCK_IMPL, L.quant_mode()
+    try:
+        L.set_block_impl("pallas")
+        L.set_quant_mode("int8")
+        dyn = np.asarray(L.residual_block(p, x, H, None, False))
+        L.set_quant_mode("int8_static")
+        fallback = np.asarray(L.residual_block(p, x, H, None, False))
+        np.testing.assert_array_equal(fallback, dyn)
+        ps = dict(p, q8_scales=scales[0])
+        static = np.asarray(L.residual_block(ps, x, H, None, False))
+        assert np.abs(static - dyn).max() > 0  # a different quant grid ran
+        ref = np.asarray(_ref_layer(p, x, H))
+        rel = np.linalg.norm(static - ref) / np.linalg.norm(ref)
+        assert rel < 0.04
+    finally:
+        L._BLOCK_IMPL = prev_impl
+        L.set_quant_mode(prev_q)
+
+
+def test_static_tower_via_attach_scales():
+    """End-to-end composition: calibrate a 2-layer tower, attach_scales
+    onto the stacked params, run transformer_forward under 'int8_static' —
+    the per-layer (4,) slice reaches each block and the tower stays close
+    to the bf16 tower."""
+    from mudpt_tpu.models.transformer import transformer_forward
+
+    rng = np.random.RandomState(13)
+    D, S, H, LYR, B = 64, 24, 2, 2, 2
+    stacked = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs), *[_params(rng, D) for _ in range(LYR)]
+    )
+    x = jnp.asarray(rng.randn(B, S, D), jnp.float32)
+
+    scales = QB.calibrate(
+        lambda xx: transformer_forward(stacked, xx, n_head=H), x
+    )
+    assert scales.shape == (LYR, 4)
+    stacked_s = QB.attach_scales(stacked, scales)
+
+    prev_impl, prev_q = L._BLOCK_IMPL, L.quant_mode()
+    try:
+        L.set_block_impl("pallas")
+        ref = np.asarray(transformer_forward(stacked, x, n_head=H))
+        L.set_quant_mode("int8_static")
+        got = np.asarray(transformer_forward(stacked_s, x, n_head=H))
+    finally:
+        L._BLOCK_IMPL = prev_impl
+        L.set_quant_mode(prev_q)
+    rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+    assert rel < 0.05, f"relative L2 error {rel:.4f}"
+
+
+def test_static_outliers_saturate_finite():
+    """Activations beyond the calibrated range SATURATE (clip to +/-127)
+    rather than wrap or produce non-finite values — the failure mode
+    static scales must guard."""
+    rng = np.random.RandomState(14)
+    D, S, H = 64, 16, 2
+    p = _params(rng, D)
+    x_small = jnp.asarray(rng.randn(1, S, D) * 0.1, jnp.float32)
+    scales = QB.calibrate(lambda xx: _ref_layer(p, xx, H), x_small)
+    ps = dict(p, q8_scales=scales[0])
+    x_big = x_small * 20.0
+    y = np.asarray(QB.residual_block_q8_static(ps, x_big, H, False))
+    assert np.isfinite(y).all()
+
+
+def test_static_is_inference_only():
+    rng = np.random.RandomState(15)
+    D, S, H = 64, 16, 2
+    p = _params(rng, D)
+    x = jnp.asarray(rng.randn(1, S, D), jnp.float32)
+    scales = QB.calibrate(lambda xx: _ref_layer(p, xx, H), x)
+    ps = dict(p, q8_scales=scales[0])
+    with pytest.raises(NotImplementedError, match="inference-only"):
+        jax.grad(
+            lambda x: jnp.sum(QB.residual_block_q8_static(ps, x, H, False) ** 2)
+        )(x)
+
+
+def test_attach_scales_validates_shape():
+    rng = np.random.RandomState(16)
+    D, LYR = 64, 2
+    stacked = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs), *[_params(rng, D) for _ in range(LYR)]
+    )
+    with pytest.raises(ValueError, match="scales shape"):
+        QB.attach_scales(stacked, jnp.ones((3, 4)))
+    # re-attaching over an existing leaf replaces it and keeps the check
+    ok = QB.attach_scales(stacked, jnp.ones((LYR, 4)))
+    ok2 = QB.attach_scales(ok, 2 * jnp.ones((LYR, 4)))
+    assert float(ok2["q8_scales"][0, 0]) == 2.0
+
+
+def test_trainer_int8_static_calibrates_and_serves(tmp_path):
+    """TRAIN.QUANT 'int8_static': the build calibrates scales onto the
+    frozen towers, eval logits stay close to the unquantized forward, and
+    the instance-conditional trainer (CoCoOp) refuses with remediation."""
+    from tests.test_trainers import tiny_cfg
+    from mudpt_tpu.parallel.mesh import shard_batch
+    from mudpt_tpu.trainers.cocoop import CoCoOp
+    from mudpt_tpu.trainers.mudpt import MuDPT
+
+    prev_impl, prev_q = L._BLOCK_IMPL, L.quant_mode()
+    try:
+        L.set_block_impl("pallas")
+        cfg = tiny_cfg("MuDPT", tmp_path / "a")
+        cfg.TRAIN.QUANT = "int8_static"
+        tr = MuDPT(cfg, devices=jax.devices()[:1])
+        assert L.quant_mode() == "int8_static"
+        vis = tr.frozen["visual"]["blocks"]
+        txt = tr.frozen["text"]["blocks"]
+        n_vis = jax.tree_util.tree_leaves(vis["ln_1"])[0].shape[0]
+        assert vis["q8_scales"].shape == (n_vis, 4)
+        assert "q8_scales" in txt
+
+        batch = shard_batch(tr.mesh, next(iter(tr.dm.test_loader)))
+        logits_q = np.asarray(
+            tr.forward(tr.trainable, tr.frozen, tr.aux, batch["image"]),
+            np.float32,
+        )[:, : tr.num_classes]
+        L.set_quant_mode("none")
+        frozen_plain = {
+            k: ({kk: vv for kk, vv in v.items() if kk != "q8_scales"}
+                if isinstance(v, dict) else v)
+            for k, v in tr.frozen.items()
+        }
+        for k in ("visual", "text"):
+            frozen_plain[k] = dict(tr.frozen[k])
+            frozen_plain[k]["blocks"] = {
+                kk: vv for kk, vv in tr.frozen[k]["blocks"].items()
+                if kk != "q8_scales"
+            }
+        logits_bf = np.asarray(
+            tr.forward(tr.trainable, frozen_plain, tr.aux, batch["image"]),
+            np.float32,
+        )[:, : tr.num_classes]
+        rel = np.linalg.norm(logits_q - logits_bf) / np.linalg.norm(logits_bf)
+        # per-TENSOR scales are coarser than per-row, and the width-64 toy
+        # model amplifies relative quant error (few channels per tensor);
+        # the full-scale drift bound lives in test_fullscale_parity.py
+        assert rel < 0.08, f"static-int8 logit drift {rel:.4f}"
+
+        L.set_quant_mode("int8_static")
+        cfg2 = tiny_cfg("CoCoOp", tmp_path / "b")
+        cfg2.TRAIN.QUANT = "int8_static"
+        with pytest.raises(ValueError, match="int8"):
+            CoCoOp(cfg2, devices=jax.devices()[:1])
+    finally:
+        L._BLOCK_IMPL = prev_impl
+        L.set_quant_mode(prev_q)

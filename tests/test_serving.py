@@ -425,3 +425,55 @@ def test_export_xla_clears_ambient_quant_mode(tmp_path):
         L.set_quant_mode(prev)
     got = serving.load(art).predict(_images(2))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_export_pallas_int8_static_artifact(tmp_path):
+    """block_impl='pallas_int8_static': requires calibration images,
+    bakes the calibrated (L, 4) scale leaves into the artifact params,
+    and records the calibration in meta; mode globals do not leak."""
+    tr = _tiny_trainer("MuDPT", tmp_path)
+    art = str(tmp_path / "artifact_q8s")
+    with pytest.raises(ValueError, match="calib_images"):
+        serving.export_trainer(art, tr, batch=4,
+                               block_impl="pallas_int8_static")
+    with pytest.raises(ValueError, match="only used by"):
+        serving.export_trainer(art, tr, batch=4, block_impl="pallas",
+                               calib_images=_images(4))
+
+    calib = _images(8, res=tr.clip_cfg.image_resolution)
+    serving.export_trainer(art, tr, batch=4,
+                           block_impl="pallas_int8_static",
+                           calib_images=calib)
+    import json as _json
+
+    meta = _json.load(open(os.path.join(art, "meta.json")))
+    assert meta["block_impl"] == "pallas_int8_static"
+    assert meta["calibration"] == {"n_images": 8}
+    blob = open(os.path.join(art, "program.jaxexport"), "rb").read()
+    assert b"tpu_custom_call" in blob
+
+    # the calibrated (L, 4) scale array ships as a params leaf
+    import numpy as np
+
+    npz = np.load(os.path.join(art, "params.npz"))
+    n_layers = tr.clip_cfg.vision_layers
+    assert any(
+        npz[k].shape == (n_layers, 4) and npz[k].dtype == np.float32
+        for k in npz.files
+    )
+
+    from mudpt_tpu.models import layers
+
+    assert layers.quant_mode() == "none"
+    assert layers.resolve_block_impl() == "xla"
+
+
+def test_export_static_rejects_instance_conditional(tmp_path):
+    """CoCoOp re-encodes text per instance — no image-independent tower
+    to calibrate; static export refuses with remediation."""
+    tr = _tiny_trainer("CoCoOp", tmp_path)
+    with pytest.raises(ValueError, match="pallas_int8"):
+        serving.export_trainer(
+            str(tmp_path / "a"), tr, batch=4,
+            block_impl="pallas_int8_static", calib_images=_images(4),
+        )

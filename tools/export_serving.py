@@ -47,12 +47,20 @@ def parse_args(argv=None):
                    help="pin the serving batch (default: symbolic batch; "
                    "CoCoOp requires a pinned batch)")
     p.add_argument("--platforms", type=str, nargs="+", default=None)
-    p.add_argument("--block_impl", choices=["xla", "pallas", "pallas_int8"],
+    p.add_argument("--block_impl",
+                   choices=["xla", "pallas", "pallas_int8",
+                            "pallas_int8_static"],
                    default="xla",
                    help="pallas: embed the fused Mosaic kernels (2.3x the "
                    "XLA forward on-chip) — TPU-only artifact, needs --batch. "
                    "pallas_int8: additionally quantize the block projections "
-                   "W8A8 (MXU int8 = 2x bf16 rate)")
+                   "W8A8 (MXU int8 = 2x bf16 rate). pallas_int8_static: "
+                   "W8A8 with CALIBRATED static activation scales (no "
+                   "per-row quant chain; calibrates on --calib_images "
+                   "images drawn from the training split)")
+    p.add_argument("--calib_images", type=int, default=64,
+                   help="pallas_int8_static: number of training-split "
+                   "images to calibrate activation scales on")
     p.add_argument("opts", default=None, nargs=argparse.REMAINDER)
     args = p.parse_args(argv)
     if args.opts and args.opts[0] == "--":
@@ -71,10 +79,22 @@ def main(args) -> None:
     trainer = build_trainer(cfg)
     if args.model_dir:
         trainer.load_model(args.model_dir, epoch=args.load_epoch)
+    calib = None
+    if args.block_impl == "pallas_int8_static":
+        import numpy as np
+
+        rows, have = [], 0
+        for batch in trainer.dm.train_loader:
+            rows.append(np.asarray(batch["image"], np.float32))
+            have += rows[-1].shape[0]
+            if have >= args.calib_images:
+                break
+        calib = np.concatenate(rows)[: args.calib_images]
+        print(f"Calibrating static int8 scales on {len(calib)} images")
     export_trainer(
         args.export_dir, trainer, batch=args.batch,
         platforms=tuple(args.platforms) if args.platforms else None,
-        block_impl=args.block_impl,
+        block_impl=args.block_impl, calib_images=calib,
     )
     print(f"Exported {cfg.TRAINER.NAME} serving artifact -> {args.export_dir}")
 
