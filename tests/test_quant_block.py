@@ -634,3 +634,45 @@ def test_trainer_int8_static_calibrates_and_serves(tmp_path):
     finally:
         L._BLOCK_IMPL = prev_impl
         L.set_quant_mode(prev_q)
+
+
+def test_q8_static_sharded_forward_matches_single_device(monkeypatch, tmp_path):
+    """Multi-chip static int8: the calibrated (L, 4) scale leaves ride the
+    shard_map towers as replicated operands — the 4x2-mesh forward must
+    match the 1-device one (same build seed => same calibration batch =>
+    same scales)."""
+    from tests.test_trainers import tiny_cfg
+    from mudpt_tpu.parallel.mesh import shard_batch
+    from mudpt_tpu.trainers.mudpt import MuDPT
+
+    monkeypatch.setattr(L, "_BLOCK_IMPL", "pallas")
+    monkeypatch.setattr(L, "_QUANT_MODE", "int8_static")
+    monkeypatch.setenv("MUDPT_TPU_QUANT", "int8_static")
+
+    devices = jax.devices()
+    assert len(devices) >= 8
+    tr1 = MuDPT(tiny_cfg("MuDPT", tmp_path / "a"), devices=devices[:1])
+    cfg8 = tiny_cfg("MuDPT", tmp_path / "b")
+    cfg8.PARALLEL.MODEL = 2
+    tr8 = MuDPT(cfg8, devices=devices[:8])
+    np.testing.assert_array_equal(
+        np.asarray(tr1.frozen["visual"]["blocks"]["q8_scales"]),
+        np.asarray(tr8.frozen["visual"]["blocks"]["q8_scales"]),
+    )
+
+    batch = next(iter(tr1.dm.test_loader))
+    logits1 = np.asarray(
+        tr1.forward(
+            tr1.trainable, tr1.frozen, tr1.aux,
+            shard_batch(tr1.mesh, batch)["image"],
+        ),
+        np.float32,
+    )[:, : tr1.num_classes]
+    logits8 = np.asarray(
+        tr8.forward(
+            tr8.trainable, tr8.frozen, tr8.aux,
+            shard_batch(tr8.mesh, batch)["image"],
+        ),
+        np.float32,
+    )[:, : tr8.num_classes]
+    np.testing.assert_allclose(logits1, logits8, rtol=1e-5, atol=1e-5)
