@@ -113,7 +113,8 @@ def main() -> None:
                     "pipeline), reporting the H2D ceiling alongside.")
     ap.add_argument("--n-jpegs", type=int, default=2048)
     ap.add_argument("--quant",
-                    choices=["none", "int8", "int8_static", "int8_ste"],
+                    choices=["none", "int8", "int8_static", "int8_ste",
+                             "int8_ste_static"],
                     default="none",
                     help="int8 (eval-mode only): post-training W8A8 "
                     "quantization of the block projection matmuls "
@@ -124,7 +125,9 @@ def main() -> None:
                     "mode): quantization-aware prompt tuning — the same "
                     "int8 forward with a straight-through backward, "
                     "training prompts against the numerics that will "
-                    "serve them.")
+                    "serve them.  int8_ste_static (train mode): QAT "
+                    "against the calibrated static tier (scales from the "
+                    "bench batch).")
     ap.add_argument("--mode", choices=["train", "eval"], default="train",
                     help="train: the headline train-step bench. eval: the "
                     "inference/serving path (argmax eval step), reporting "
@@ -139,8 +142,8 @@ def main() -> None:
         ap.error(f"--quant {args.quant} is inference-only; use with --mode "
                  "eval (the quantized blocks have no backward) — for "
                  "training, --quant int8_ste is the straight-through variant")
-    if args.quant == "int8_ste" and args.mode != "train":
-        ap.error("--quant int8_ste is the TRAINING variant; for serving "
+    if args.quant.startswith("int8_ste") and args.mode != "train":
+        ap.error(f"--quant {args.quant} is the TRAINING variant; for serving "
                  "use --quant int8 (identical forward, no save writes)")
     if args.input != "resident" and args.batch > args.n_jpegs:
         # fail BEFORE the multi-minute graph build: tfdata would yield ZERO
@@ -392,6 +395,34 @@ def _run(args) -> None:
     st = build_synth_mudpt_step(
         args.model, args.batch, args.n_cls, args.n_ctx, args.depth
     )
+    if args.quant == "int8_ste_static":
+        # QAT against the calibrated static tier: attach build-time scales
+        # to both towers (trainers/base.py does the same for TRAIN.QUANT)
+        import functools
+
+        import jax.numpy as jnp
+
+        from mudpt_tpu.ops import quant_block as QB
+        from mudpt_tpu.trainers.mudpt import (
+            mudpt_image_logits,
+            mudpt_text_features,
+        )
+
+        kw = dict(clip_cfg=st.clip_cfg, compute_dtype=jnp.bfloat16)
+        tscales, txt = QB.calibrate(
+            functools.partial(mudpt_text_features, **kw),
+            st.trainable, st.params, st.aux, with_output=True,
+        )
+        st.params["text"]["blocks"] = QB.attach_scales(
+            st.params["text"]["blocks"], tscales
+        )
+        vscales = QB.calibrate(
+            functools.partial(mudpt_image_logits, **kw),
+            st.trainable, st.params, st.aux, st.images, txt,
+        )
+        st.params["visual"]["blocks"] = QB.attach_scales(
+            st.params["visual"]["blocks"], vscales
+        )
     clip_cfg, params, aux = st.clip_cfg, st.params, st.aux
     trainable, opt_state, train_step = st.trainable, st.opt_state, st.train_step
     images, labels = st.images, st.labels
@@ -547,13 +578,16 @@ def _run(args) -> None:
     achieved = step_flops * args.steps / dt
     model_achieved = model_flops * args.steps / dt
     peak = float(os.environ.get("TPU_PEAK_FLOPS", 197e12))  # v5e bf16
+    qlabel = {
+        "int8_ste": "int8-ste", "int8_ste_static": "int8-ste-static"
+    }.get(args.quant, "bf16")
 
     print(
         json.dumps(
             {
                 "metric": (
                     f"MuDPT {args.model} prompt-tuning train throughput "
-                    f"({'int8-ste' if args.quant == 'int8_ste' else 'bf16'}, "
+                    f"({qlabel}, "
                     f"batch {args.batch}, n_cls {args.n_cls}, depth {args.depth}"
                     + ("" if args.input == "resident" else f", input {args.input}")
                     + ")"

@@ -126,7 +126,9 @@ class TrainCfg:
     # 'int8_static' = same, with per-tensor scales calibrated on one
     # training batch at build (no per-row quant chain in the kernel);
     # 'int8_ste' = quantization-aware prompt tuning (same int8 forward +
-    # straight-through backward)
+    # straight-through backward); 'int8_ste_static' = QAT against the
+    # calibrated static serving tier (train/serve numerics match a
+    # pallas_int8_static artifact exactly)
     QUANT: str = "none"
 
 

@@ -187,7 +187,9 @@ _QUANT_MODE = os.environ.get("MUDPT_TPU_QUANT", "none")
 
 
 def set_quant_mode(name: str) -> None:
-    assert name in ("none", "int8", "int8_static", "int8_ste"), name
+    assert name in (
+        "none", "int8", "int8_static", "int8_ste", "int8_ste_static"
+    ), name
     global _QUANT_MODE
     _QUANT_MODE = name
 
@@ -220,7 +222,10 @@ def residual_block(p, x: jax.Array, n_head: int, mask=None, causal=False) -> jax
                 f"{resolve_block_impl()!r}, D={D}); set_quant_mode('none') "
                 "or set_block_impl('pallas')"
             )
-        if _QUANT_MODE == "int8_ste":
+        if _QUANT_MODE in ("int8_ste", "int8_ste_static"):
+            # the static variant is selected per-block by the presence of
+            # a calibrated q8_scales leaf (TRAIN.QUANT 'int8_ste_static'
+            # attaches them at build; towers without scales run dynamic)
             from mudpt_tpu.ops.quant_block import residual_block_q8_ste
 
             return residual_block_q8_ste(p, x, n_head, causal)

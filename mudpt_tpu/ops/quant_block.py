@@ -335,8 +335,22 @@ layer_fullblock_q8_ste.defvjp(_q8_ste_fwd, _q8_ste_bwd)
 
 
 def residual_block_q8_ste(p, x: jax.Array, n_head: int, causal=False) -> jax.Array:
-    """residual_block under quant mode 'int8_ste' (quantization-aware
-    prompt tuning): same param pytree as the bf16 tier."""
+    """residual_block under quant modes 'int8_ste'/'int8_ste_static'
+    (quantization-aware prompt tuning): same param pytree as the bf16
+    tier.  A ``q8_scales`` leaf (TRAIN.QUANT 'int8_ste_static' calibrates
+    one at build) selects the static-scale forward — the numerics a
+    ``pallas_int8_static`` artifact serves."""
+    if "q8_scales" in p:
+        return layer_fullblock_q8_ste_static(
+            x, p["q8_scales"],
+            p["ln_1"]["scale"], p["ln_1"]["bias"],
+            p["attn"]["qkv_w"], p["attn"]["qkv_b"],
+            p["attn"]["out_w"], p["attn"]["out_b"],
+            p["ln_2"]["scale"], p["ln_2"]["bias"],
+            p["mlp"]["fc_w"], p["mlp"]["fc_b"],
+            p["mlp"]["proj_w"], p["mlp"]["proj_b"],
+            n_head, causal,
+        )
     return layer_fullblock_q8_ste(
         x,
         p["ln_1"]["scale"], p["ln_1"]["bias"],
@@ -454,29 +468,45 @@ def _q8_static_fwd_vjp(
 layer_fullblock_q8_static.defvjp(_q8_static_fwd_vjp, _q8_bwd)
 
 
+def _quantize_layer_static(params, amax):
+    """(12 bf16 layer params, (4,) site absmax) -> (the 16-operand
+    static-kernel layout with the dequant factors folded into the weight
+    scales, r (1, 4) quant multipliers).  Traced jnp — XLA hoists it."""
+    (ln1_s, ln1_b, qkv_w, qkv_b, out_w, out_b,
+     ln2_s, ln2_b, fc_w, fc_b, proj_w, proj_b) = params
+    amax = jnp.maximum(amax.astype(jnp.float32), 1e-8)  # (4,)
+    r = (127.0 / amax).reshape(1, 4)
+    dq = amax / 127.0  # per-site dequant factor, folded into weight scales
+    qkv_wq, qkv_ws = quantize_cols(qkv_w)
+    out_wq, out_ws = quantize_cols(out_w)
+    fc_wq, fc_ws = quantize_cols(fc_w)
+    proj_wq, proj_ws = quantize_cols(proj_w)
+    return (
+        ln1_s, ln1_b, qkv_wq, qkv_ws * dq[0], qkv_b,
+        out_wq, out_ws * dq[1], out_b,
+        ln2_s, ln2_b, fc_wq, fc_ws * dq[2], fc_b,
+        proj_wq, proj_ws * dq[3], proj_b,
+    ), r
+
+
 def residual_block_q8_static(p, x: jax.Array, n_head: int, causal=False) -> jax.Array:
     """The q8 layer with CALIBRATED static activation scales: ``p`` must
     carry a ``q8_scales`` (4,) fp32 leaf of per-site activation absmaxima
     (:func:`calibrate` + :func:`attach_scales`).  Weight quantization and
     the dequant-scale folding are traced jnp — XLA hoists them; the kernel
     itself has NO per-row scale work (docs/BENCHMARKS.md session 8)."""
-    amax = jnp.maximum(p["q8_scales"].astype(jnp.float32), 1e-8)  # (4,)
-    r = (127.0 / amax).reshape(1, 4)
-    dq = amax / 127.0  # per-site dequant factor, folded into weight scales
-    qkv_wq, qkv_ws = quantize_cols(p["attn"]["qkv_w"])
-    out_wq, out_ws = quantize_cols(p["attn"]["out_w"])
-    fc_wq, fc_ws = quantize_cols(p["mlp"]["fc_w"])
-    proj_wq, proj_ws = quantize_cols(p["mlp"]["proj_w"])
-    return layer_fullblock_q8_static(
-        x,
-        p["ln_1"]["scale"], p["ln_1"]["bias"],
-        qkv_wq, qkv_ws * dq[0], p["attn"]["qkv_b"],
-        out_wq, out_ws * dq[1], p["attn"]["out_b"],
-        p["ln_2"]["scale"], p["ln_2"]["bias"],
-        fc_wq, fc_ws * dq[2], p["mlp"]["fc_b"],
-        proj_wq, proj_ws * dq[3], p["mlp"]["proj_b"],
-        r, n_head, causal,
+    qparams, r = _quantize_layer_static(
+        (
+            p["ln_1"]["scale"], p["ln_1"]["bias"],
+            p["attn"]["qkv_w"], p["attn"]["qkv_b"],
+            p["attn"]["out_w"], p["attn"]["out_b"],
+            p["ln_2"]["scale"], p["ln_2"]["bias"],
+            p["mlp"]["fc_w"], p["mlp"]["fc_b"],
+            p["mlp"]["proj_w"], p["mlp"]["proj_b"],
+        ),
+        p["q8_scales"],
     )
+    return layer_fullblock_q8_static(x, *qparams, r, n_head, causal)
 
 
 def calibrate(forward_fn, *args, with_output: bool = False, **kwargs):
@@ -532,6 +562,138 @@ def attach_scales(blocks: dict, scales: jax.Array) -> dict:
     out = dict(blocks)
     out["q8_scales"] = scales
     return out
+
+
+def _layer_fwd_q8_static_save_kernel(
+    x_ref,
+    ln1_s, ln1_b, qkv_wq, qkv_ws, qkv_b, out_wq, out_ws, out_b,
+    ln2_s, ln2_b, fc_wq, fc_ws, fc_b, proj_wq, proj_ws, proj_b,
+    r_ref, y_ref, y1_ref, qkv_ref, h_ref, acc_ref, *, n_head, causal,
+):
+    """The static q8 forward, saving the dequantized (qkv, y1, h) the bf16
+    save-acts backward consumes — the static variant of the
+    quantization-aware-training forward (layer_fullblock_q8_ste_static)."""
+    x = x_ref[0]
+    r = r_ref[...]
+
+    def quant_static(x32, i):
+        q = jnp.clip(jnp.round(x32 * r[0, i]), -127.0, 127.0)
+        return q.astype(jnp.int8)
+
+    def matmul_static(xq, wq, ws, b):
+        acc = jax.lax.dot_general(
+            xq, wq[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        return acc.astype(jnp.float32) * ws[...] + b[...].astype(jnp.float32)
+
+    xn, _, _ = _ln_fp32(x, ln1_s[...], ln1_b[...])
+    qkv = matmul_static(
+        quant_static(xn, 0), qkv_wq, qkv_ws, qkv_b
+    ).astype(x.dtype)
+    qkv_ref[0] = qkv
+    _mha_acc(qkv, acc_ref, n_head=n_head, causal=causal, act_dtype=x.dtype)
+    y1 = x + matmul_static(
+        quant_static(acc_ref[...], 1), out_wq, out_ws, out_b
+    ).astype(x.dtype)
+    y1_ref[0] = y1
+    x2n, _, _ = _ln_fp32(y1, ln2_s[...], ln2_b[...])
+    h = matmul_static(quant_static(x2n, 2), fc_wq, fc_ws, fc_b)
+    h_ref[0] = h.astype(h_ref.dtype)
+    g = _quick_gelu(h)
+    y_ref[0] = y1 + matmul_static(
+        quant_static(g, 3), proj_wq, proj_ws, proj_b
+    ).astype(x.dtype)
+
+
+def _q8_static_save_forward(x, qparams, r, n_head, causal, Dh):
+    """Run the saving static q8 forward kernel: (y, y1, qkv, h)."""
+    B, S, D = x.shape
+    operands = (*qparams, r)
+    specs = [_row(S, D)] + [_spec_of(p) for p in operands]
+    out_shapes = (
+        jax.ShapeDtypeStruct((B, S, D), x.dtype),
+        jax.ShapeDtypeStruct((B, S, D), x.dtype),
+        jax.ShapeDtypeStruct((B, S, 3 * D), x.dtype),
+        jax.ShapeDtypeStruct((B, S, Dh), x.dtype),
+    )
+    return pl.pallas_call(
+        functools.partial(
+            _layer_fwd_q8_static_save_kernel, n_head=n_head, causal=causal
+        ),
+        grid=(B,),
+        in_specs=specs,
+        out_specs=jax.tree_util.tree_map(_row_spec_of, out_shapes),
+        out_shape=out_shapes,
+        scratch_shapes=[pltpu.VMEM((S, D), jnp.float32)],
+        compiler_params=_COMPILER_PARAMS,
+        interpret=_interpret(),
+    )(x, *operands)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(14, 15))
+def layer_fullblock_q8_ste_static(x, scales,
+                                  ln1_s, ln1_b, qkv_w, qkv_b, out_w, out_b,
+                                  ln2_s, ln2_b, fc_w, fc_b, proj_w, proj_b,
+                                  n_head: int, causal: bool = False):
+    """Quantization-aware prompt tuning against the CALIBRATED static
+    serving tier: the static q8 forward (bit-identical to
+    :func:`layer_fullblock_q8_static` on the same scales — the numerics a
+    ``pallas_int8_static`` artifact serves) + the same straight-through
+    backward as :func:`layer_fullblock_q8_ste`.  ``scales`` is the (4,)
+    per-site absmax leaf; like every fused block, gradients flow to ``x``
+    only.  Scales are calibrated once at build — activations drifting past
+    them during training saturate, the standard static-QAT tradeoff."""
+    params = (ln1_s, ln1_b, qkv_w, qkv_b, out_w, out_b,
+              ln2_s, ln2_b, fc_w, fc_b, proj_w, proj_b)
+    qparams, r = _quantize_layer_static(params, scales)
+    # the outer custom_vjp owns differentiation; the inner one's primal is
+    # exactly the serving-tier forward — bit-identity train/serve by
+    # construction
+    return layer_fullblock_q8_static(x, *qparams, r, n_head, causal)
+
+
+def _q8_ste_static_fwd(x, scales, ln1_s, ln1_b, qkv_w, qkv_b, out_w, out_b,
+                       ln2_s, ln2_b, fc_w, fc_b, proj_w, proj_b,
+                       n_head, causal):
+    from mudpt_tpu.ops import fused_block as FB
+
+    params = (ln1_s, ln1_b, qkv_w, qkv_b, out_w, out_b,
+              ln2_s, ln2_b, fc_w, fc_b, proj_w, proj_b)
+    save_limit = (
+        1024 if os.environ.get("MUDPT_TPU_SAVE_MLP_WIDE") == "1" else 768
+    )
+    if FB.save_acts_enabled() and x.shape[-1] <= save_limit:
+        qparams, r = _quantize_layer_static(params, scales)
+        y, y1, qkv, h = _q8_static_save_forward(
+            x, qparams, r, n_head, causal, fc_w.shape[1]
+        )
+        return y, (x, scales, y1, qkv, h, params)
+    y = layer_fullblock_q8_ste_static(
+        x, scales, *params, n_head, causal
+    )
+    return y, (x, scales, None, None, None, params)
+
+
+def _q8_ste_static_bwd(n_head, causal, res, g):
+    x, scales, y1, qkv, h, params = res
+    B, S, D = x.shape
+    if y1 is None:
+        qparams, r = _quantize_layer_static(params, scales)
+        _, y1, qkv, h = _q8_static_save_forward(
+            x, qparams, r, n_head, causal, params[8].shape[1]
+        )
+    dx = _call_layer(
+        _layer_bwd_kernel, x, params, (y1, qkv, h, g),
+        jax.ShapeDtypeStruct((B, S, D), x.dtype),
+        [pltpu.VMEM((S, 3 * D), x.dtype)],
+        n_head=n_head, causal=causal,
+    )
+    zeros = tuple(jnp.zeros_like(p) for p in params)
+    return (dx, jnp.zeros_like(scales), *zeros)
+
+
+layer_fullblock_q8_ste_static.defvjp(_q8_ste_static_fwd, _q8_ste_static_bwd)
 
 
 def residual_block_q8(p, x: jax.Array, n_head: int, causal=False) -> jax.Array:

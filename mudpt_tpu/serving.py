@@ -279,6 +279,18 @@ def export_trainer(path: str, trainer, *, batch: Optional[int] = None,
 
         return score(o, images.astype(trainer.compute_dtype)).astype(jnp.float32)
 
+    def _has_scales(frozen):
+        vis = frozen.get("visual") if isinstance(frozen, dict) else None
+        return isinstance(vis, dict) and "q8_scales" in vis.get("blocks", {})
+
+    def _strip_scales(tree):
+        if isinstance(tree, dict):
+            return {
+                k: _strip_scales(v) for k, v in tree.items()
+                if k != "q8_scales"
+            }
+        return tree
+
     extra_meta = {"trainer": trainer.cfg.TRAINER.NAME}
     if block_impl == "pallas_int8_static":
         if inference is None and text_fn is None:
@@ -288,25 +300,38 @@ def export_trainer(path: str, trainer, *, batch: Optional[int] = None,
                 "per instance); use block_impl='pallas_int8' (dynamic "
                 "activation scales)"
             )
-        if calib_images is None:
+        if calib_images is None and _has_scales(ops["frozen"]):
+            # TRAIN.QUANT 'int8_static'/'int8_ste_static' calibrated the
+            # trainer's frozen towers already — reuse those scales, so the
+            # artifact serves EXACTLY the numerics the prompts trained
+            # against (the deploy-aware-training contract)
+            extra_meta["calibration"] = {"reused_trainer_scales": True}
+        elif calib_images is None:
             raise ValueError(
                 "pallas_int8_static requires calib_images: a float32 "
                 "(N, H, W, 3) batch of representative preprocessed images "
-                "to calibrate the static activation scales on"
+                "to calibrate the static activation scales on (or build "
+                "the trainer with TRAIN.QUANT int8_static/int8_ste_static "
+                "to reuse its calibration)"
             )
-        import jax.numpy as jnp
+        else:
+            import jax.numpy as jnp
 
-        from mudpt_tpu.ops import quant_block as QB
+            from mudpt_tpu.ops import quant_block as QB
 
-        scales = QB.calibrate(
-            cast_score, ops, jnp.asarray(calib_images, jnp.float32)
-        )
-        vis = dict(ops["frozen"]["visual"])
-        vis["blocks"] = QB.attach_scales(vis["blocks"], scales)
-        ops["frozen"] = dict(ops["frozen"], visual=vis)
-        extra_meta["calibration"] = {"n_images": int(len(calib_images))}
-    elif calib_images is not None:
-        raise ValueError("calib_images is only used by pallas_int8_static")
+            scales = QB.calibrate(
+                cast_score, ops, jnp.asarray(calib_images, jnp.float32)
+            )
+            vis = dict(ops["frozen"]["visual"])
+            vis["blocks"] = QB.attach_scales(vis["blocks"], scales)
+            ops["frozen"] = dict(ops["frozen"], visual=vis)
+            extra_meta["calibration"] = {"n_images": int(len(calib_images))}
+    else:
+        if calib_images is not None:
+            raise ValueError("calib_images is only used by pallas_int8_static")
+        # a trainer built under a static quant mode carries q8_scales
+        # leaves; non-static artifacts must not ship (or trace over) them
+        ops["frozen"] = _strip_scales(ops["frozen"])
 
     res = trainer.clip_cfg.image_resolution
     kwargs = dict(

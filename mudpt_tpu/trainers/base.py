@@ -125,12 +125,16 @@ class TrainerBase:
         set_platform_hint(self.mesh.mesh.devices.flat[0].platform)
         from mudpt_tpu.models.layers import set_quant_mode
 
-        if cfg.TRAIN.QUANT not in ("none", "int8", "int8_static", "int8_ste"):
+        if cfg.TRAIN.QUANT not in (
+            "none", "int8", "int8_static", "int8_ste", "int8_ste_static"
+        ):
             raise ValueError(
                 f"TRAIN.QUANT must be 'none', 'int8' (eval-only, dynamic "
                 f"activation scales), 'int8_static' (eval-only, scales "
-                f"calibrated on a training batch), or 'int8_ste' "
-                f"(quantization-aware training); got {cfg.TRAIN.QUANT!r}"
+                f"calibrated on a training batch), 'int8_ste' "
+                f"(quantization-aware training), or 'int8_ste_static' "
+                f"(QAT against the calibrated static serving tier); got "
+                f"{cfg.TRAIN.QUANT!r}"
             )
         # the mode is process-global: set it on EVERY build so a 'none'
         # trainer clears a mode left by a previous build in the same
@@ -175,7 +179,7 @@ class TrainerBase:
         self._jit_steps()
         from mudpt_tpu.models.layers import quant_mode
 
-        if quant_mode() == "int8_static":
+        if quant_mode() in ("int8_static", "int8_ste_static"):
             self._calibrate_static_quant()
 
     # ------------------------------------------------------------------
@@ -917,7 +921,7 @@ class TrainerBase:
         # post-build loads (--eval_only, base->new transfer).
         from mudpt_tpu.models.layers import quant_mode
 
-        if quant_mode() == "int8_static" and getattr(
+        if quant_mode() in ("int8_static", "int8_ste_static") and getattr(
             self, "_static_calibrated", False
         ):
             self._calibrate_static_quant()

@@ -676,3 +676,100 @@ def test_q8_static_sharded_forward_matches_single_device(monkeypatch, tmp_path):
         np.float32,
     )[:, : tr8.num_classes]
     np.testing.assert_allclose(logits1, logits8, rtol=1e-5, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Static-scale quantization-aware training — 'int8_ste_static'
+# ---------------------------------------------------------------------------
+
+
+def _flat(p):
+    return (p["ln_1"]["scale"], p["ln_1"]["bias"],
+            p["attn"]["qkv_w"], p["attn"]["qkv_b"],
+            p["attn"]["out_w"], p["attn"]["out_b"],
+            p["ln_2"]["scale"], p["ln_2"]["bias"],
+            p["mlp"]["fc_w"], p["mlp"]["fc_b"],
+            p["mlp"]["proj_w"], p["mlp"]["proj_b"])
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_q8_ste_static_forward_matches_serving_tier(causal):
+    """The static-QAT forward IS the pallas_int8_static serving forward —
+    the deploy-aware contract, bit-exact."""
+    rng = np.random.RandomState(20)
+    D, S, H, B = 64, 40, 2, 2
+    p = _params(rng, D)
+    x = jnp.asarray(rng.randn(B, S, D), jnp.float32)
+    scales = QB.calibrate(lambda xx: _ref_layer(p, xx, H), x)
+    ps = dict(p, q8_scales=scales[0])
+    serve = np.asarray(QB.residual_block_q8_static(ps, x, H, causal))
+    train = np.asarray(QB.residual_block_q8_ste(ps, x, H, causal))
+    np.testing.assert_array_equal(train, serve)
+
+
+def test_q8_ste_static_grad_and_recompute():
+    """Static-STE dx tracks the bf16 layer dx, and the recompute strategy
+    (saved_acts False) is bit-identical to the save strategy."""
+    from mudpt_tpu.ops.fused_block import layer_fullblock, saved_acts
+
+    rng = np.random.RandomState(21)
+    D, S, H, B = 64, 32, 2, 2
+    p = _params(rng, D)
+    x = jnp.asarray(rng.randn(B, S, D), jnp.float32)
+    scales = QB.calibrate(lambda xx: _ref_layer(p, xx, H), x)[0]
+
+    f = lambda x: QB.layer_fullblock_q8_ste_static(x, scales, *_flat(p), H)
+    loss = lambda x: jnp.sum(f(x) ** 2)
+    with saved_acts(True):
+        y_save, g_save = f(x), jax.grad(loss)(x)
+        g_bf = jax.grad(
+            lambda x: jnp.sum(layer_fullblock(x, *_flat(p), H) ** 2)
+        )(x)
+    with saved_acts(False):
+        y_rc, g_rc = f(x), jax.grad(loss)(x)
+    np.testing.assert_array_equal(np.asarray(y_rc), np.asarray(y_save))
+    np.testing.assert_array_equal(np.asarray(g_rc), np.asarray(g_save))
+    rel = np.linalg.norm(np.asarray(g_save) - np.asarray(g_bf)) / np.linalg.norm(
+        np.asarray(g_bf)
+    )
+    assert rel < 0.06, f"static-STE grad diverged from bf16 dx: rel {rel:.4f}"
+    assert np.abs(np.asarray(g_save)).min(axis=-1).max() > 0
+
+
+def test_trainer_int8_ste_static_trains_and_serves(tmp_path):
+    """TRAIN.QUANT 'int8_ste_static': the build calibrates, the jitted
+    train step runs and reduces loss, and the trained prompts under the
+    'int8_static' SERVING mode (same frozen scales) produce bit-identical
+    logits — train/serve parity for the static tier."""
+    from tests.test_trainers import tiny_cfg
+    from mudpt_tpu.parallel.mesh import shard_batch
+    from mudpt_tpu.trainers.mudpt import MuDPT
+
+    prev_impl, prev_q = L._BLOCK_IMPL, L.quant_mode()
+    try:
+        L.set_block_impl("pallas")
+        cfg = tiny_cfg("MuDPT", tmp_path)
+        cfg.TRAIN.QUANT = "int8_ste_static"
+        tr = MuDPT(cfg, devices=jax.devices()[:1])
+        assert "q8_scales" in tr.frozen["visual"]["blocks"]
+        batch = shard_batch(tr.mesh, next(iter(tr.dm.train_loader)))
+        trainable, opt_state = tr.trainable, tr.opt_state
+        losses = []
+        for _ in range(6):
+            trainable, opt_state, loss, _ = tr._train_step(
+                trainable, opt_state, tr.frozen, tr.aux, batch
+            )
+            losses.append(float(loss))
+        assert losses[-1] < losses[0], losses
+
+        logits_train_mode = np.asarray(
+            tr.forward(trainable, tr.frozen, tr.aux, batch["image"])
+        )
+        L.set_quant_mode("int8_static")
+        logits_serve_mode = np.asarray(
+            tr.forward(trainable, tr.frozen, tr.aux, batch["image"])
+        )
+        np.testing.assert_array_equal(logits_train_mode, logits_serve_mode)
+    finally:
+        L._BLOCK_IMPL = prev_impl
+        L.set_quant_mode(prev_q)

@@ -477,3 +477,50 @@ def test_export_static_rejects_instance_conditional(tmp_path):
             str(tmp_path / "a"), tr, batch=4,
             block_impl="pallas_int8_static", calib_images=_images(4),
         )
+
+
+def test_export_static_reuses_trainer_scales(tmp_path):
+    """A trainer built under a static quant mode carries calibrated
+    scales: static export WITHOUT calib_images reuses them (the artifact
+    serves exactly the numerics the prompts trained against), and
+    non-static exports strip the scale leaves."""
+    import jax
+    import numpy as np
+
+    from mudpt_tpu.models import layers
+    from mudpt_tpu.trainers.mudpt import MuDPT
+    from tests.test_trainers import tiny_cfg
+
+    prev_impl, prev_q = layers._BLOCK_IMPL, layers.quant_mode()
+    try:
+        layers.set_block_impl("pallas")
+        cfg = tiny_cfg("MuDPT", tmp_path / "tr")
+        cfg.TRAIN.QUANT = "int8_ste_static"
+        tr = MuDPT(cfg, devices=jax.devices()[:1])
+    finally:
+        layers._BLOCK_IMPL = prev_impl
+        layers.set_quant_mode(prev_q)
+    n_layers = tr.clip_cfg.vision_layers
+    want = np.asarray(tr.frozen["visual"]["blocks"]["q8_scales"])
+
+    art = str(tmp_path / "reuse")
+    serving.export_trainer(art, tr, batch=4, block_impl="pallas_int8_static")
+    import json as _json
+
+    meta = _json.load(open(os.path.join(art, "meta.json")))
+    assert meta["calibration"] == {"reused_trainer_scales": True}
+    npz = np.load(os.path.join(art, "params.npz"))
+    shipped = [
+        npz[k] for k in npz.files
+        if npz[k].shape == (n_layers, 4) and npz[k].dtype == np.float32
+    ]
+    assert any((s == want).all() for s in shipped)
+
+    # non-static export from the same trainer: scale leaves are stripped
+    art2 = str(tmp_path / "plain")
+    serving.export_trainer(art2, tr, batch=4, block_impl="pallas")
+    npz2 = np.load(os.path.join(art2, "params.npz"))
+    assert not any(
+        npz2[k].shape == (n_layers, 4) and npz2[k].dtype == np.float32
+        for k in npz2.files
+    )
