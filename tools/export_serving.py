@@ -80,7 +80,15 @@ def main(args) -> None:
     if args.model_dir:
         trainer.load_model(args.model_dir, epoch=args.load_epoch)
     calib = None
-    if args.block_impl == "pallas_int8_static":
+    if args.block_impl == "pallas_int8_static" and cfg.TRAIN.QUANT in (
+        "int8_static", "int8_ste_static"
+    ):
+        # the build (and post-load recalibration) already attached
+        # calibrated q8_scales to the frozen towers — export reuses them,
+        # so the artifact serves exactly the numerics the prompts trained
+        # against (serving.export_trainer records reused_trainer_scales)
+        print("Reusing the trainer's calibrated static int8 scales")
+    elif args.block_impl == "pallas_int8_static":
         import numpy as np
 
         rows, have = [], 0
