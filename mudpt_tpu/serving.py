@@ -220,10 +220,17 @@ def export_trainer(path: str, trainer, *, batch: Optional[int] = None,
     are collected over it at export time.
     """
     n_cls = trainer.num_classes
+    # a static_text trainer (VPT/MPT) holds its train-time text-feature
+    # cache in aux; the artifact carries its own text cache (ops["txt"],
+    # encoded below under pinned-unquantized numerics) so the aux copy
+    # would be dead weight device_put on every load
+    aux = {
+        k: v for k, v in trainer.aux.items() if k != "static_text_features"
+    }
     ops = {
         "trainable": trainer.trainable,
         "frozen": trainer.frozen,
-        "aux": trainer.aux,
+        "aux": aux,
     }
 
     def _drop_text_tower(frozen):

@@ -181,6 +181,7 @@ class TrainerBase:
 
         if quant_mode() in ("int8_static", "int8_ste_static"):
             self._calibrate_static_quant()
+        self._cache_static_text()
 
     # ------------------------------------------------------------------
     # model plumbing helpers for subclasses
@@ -282,6 +283,30 @@ class TrainerBase:
         self._static_calibrated = True
 
     # ------------------------------------------------------------------
+    def _cache_static_text(self):
+        """When the trainer declares ``static_text`` (text features are
+        independent of the trainable pytree — VPT, and MPT configs with
+        TEXT_PROMPT_DEPTH<=1), encode the n_cls x 77 class-prompt tower
+        ONCE and train/eval against the cached rows.  The reference
+        re-runs the frozen text encoder every forward
+        (/root/reference/trainers/vpt.py:96-101 — CustomCLIP.forward calls
+        text_encoder per batch); at ImageNet scale that tower is a
+        double-digit share of per-step FLOPs for a method whose gradients
+        never touch it.  The cache lives in ``aux`` — not closed over in
+        the jitted step (big constants inline into the remote-compile
+        payload) — so every ``_train_step`` call site picks it up
+        structurally, and callers that never populated it fall back to the
+        per-step encode.  Recomputed after any post-build change to
+        ``frozen`` (static int8 recalibration)."""
+        if not getattr(self, "static_text", False):
+            return
+        fn = getattr(self, "_text_features", None)
+        if fn is None or self.trainable is None:
+            return
+        aux = {k: v for k, v in self.aux.items() if k != "static_text_features"}
+        self.aux["static_text_features"] = fn(self.trainable, self.frozen, aux)
+
+    # ------------------------------------------------------------------
     def _build_train_state(self):
         steps_per_epoch = max(1, len(self.dm.train_loader))
         self.tx, self.lr_schedule = build_optimizer(self.cfg.OPTIM, steps_per_epoch)
@@ -291,9 +316,23 @@ class TrainerBase:
     def _jit_steps(self):
         forward = self.forward
         n_cls = self.num_classes
+        fwd_text = getattr(self, "forward_text", None)
+        fwd_image = getattr(self, "forward_image", None)
+        # static_text trainers (VPT/MPT configs with no text-side prompt
+        # parameters) train against text features encoded ONCE at build —
+        # the key is present in aux iff _cache_static_text ran, so direct
+        # _train_step callers that never populated it (tests, bench
+        # harnesses) transparently fall back to the per-step encode
+        static_text = getattr(self, "static_text", False) and fwd_image is not None
 
         def loss_fn(trainable, frozen, aux, batch):
-            logits = forward(trainable, frozen, aux, batch["image"])
+            if static_text and "static_text_features" in aux:
+                logits = fwd_image(
+                    trainable, frozen, aux, batch["image"],
+                    aux["static_text_features"],
+                )
+            else:
+                logits = forward(trainable, frozen, aux, batch["image"])
             logits = logits[:, :n_cls].astype(jnp.float32)
             labels = batch["label"]
             valid = batch["valid"].astype(jnp.float32)
@@ -340,10 +379,7 @@ class TrainerBase:
         # ImageNet scale the text tower is ~60% of per-batch eval FLOPs).
         # model_inference (ZeroshotCLIP) already caches; CoCoOp's per-image
         # meta-net conditioning makes its text features image-dependent.
-        fwd_text = getattr(self, "forward_text", None)
         if fwd_text is not None and getattr(self, "model_inference", None) is None:
-            fwd_image = self.forward_image
-
             self._text_features = jax.jit(fwd_text)
 
             @functools.partial(jax.jit, out_shardings=self.mesh.replicated)
@@ -754,7 +790,8 @@ class TrainerBase:
         # full per-batch forward.  Lazy on the first batch so an empty split
         # never pays the n_cls x 77 encode.
         text_fn = getattr(self, "_text_features", None)
-        txt = None
+        # static_text trainers already hold the encoded tower in aux
+        txt = self.aux.get("static_text_features") if self.aux else None
         for batch in loader:
             if text_fn is not None and txt is None:
                 txt = text_fn(self.trainable, self.frozen, self.aux)
@@ -925,6 +962,7 @@ class TrainerBase:
             self, "_static_calibrated", False
         ):
             self._calibrate_static_quant()
+            self._cache_static_text()  # scales changed under the cache
 
     # -- abstract -------------------------------------------------------
     # subclasses must set self.forward (a pure function) in build_model()

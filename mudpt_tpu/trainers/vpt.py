@@ -100,6 +100,12 @@ class VPT(TrainerBase):
                 "VISUAL_PROMPT_DEPTH/DEEP_VISUAL_N_CTX (and/or TEXT_* for MPT)"
             )
         print(f"Trainable prompts: {sorted(trainable)}")
+        # no text-side trainables (every VPT config; MPT with
+        # TEXT_PROMPT_DEPTH<=1) -> text features are a pure function of
+        # the frozen tower: encode once at build, train on cached rows
+        # (base._cache_static_text).  The reference re-encodes the frozen
+        # text tower every step (vpt.py:96-101).
+        self.static_text = "text_deep_prompts" not in trainable
 
         # embed the full fixed prompt; n_ctx=0 so prefix+suffix is everything
         aux_cls = embed_classnames(

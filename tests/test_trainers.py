@@ -302,6 +302,58 @@ def test_eval_text_cache_matches_full_forward(tmp_path, trainer):
     assert getattr(zs, "_text_features", None) is None
 
 
+def test_vpt_static_text_train_cache(tmp_path):
+    """VPT (no text-side trainables) trains against text features encoded
+    ONCE at build (base._cache_static_text).  The cached train step must
+    match the per-step-encode step — same loss, same updated weights — and
+    MPT configs WITH text prompts must never grow the cache (their text
+    features depend on the trainable pytree)."""
+    import jax
+    import jax.numpy as jnp
+
+    cfg = tiny_cfg("VPT", tmp_path, VISUAL_PROMPT_DEPTH=2, DEEP_VISUAL_N_CTX=2)
+    tr = build_trainer(cfg)
+    assert tr.static_text
+    assert "static_text_features" in tr.aux
+
+    batch = next(iter(tr._device_prefetch(tr.dm.train_loader)))
+    aux_nocache = {
+        k: v for k, v in tr.aux.items() if k != "static_text_features"
+    }
+
+    def cp(t):
+        return jax.tree.map(jnp.copy, t)  # _train_step donates args 0,1
+
+    t1, _, loss1, acc1 = tr._train_step(
+        cp(tr.trainable), cp(tr.opt_state), tr.frozen, tr.aux, batch
+    )
+    t2, _, loss2, acc2 = tr._train_step(
+        cp(tr.trainable), cp(tr.opt_state), tr.frozen, aux_nocache, batch
+    )
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-5)
+    assert float(acc1) == float(acc2)
+    for k in t1:
+        np.testing.assert_allclose(
+            np.asarray(t1[k]), np.asarray(t2[k]), rtol=1e-5, atol=1e-6,
+            err_msg=f"trainable[{k}] diverged between cached/uncached step",
+        )
+
+    # the cached rows equal a fresh encode (and evaluate() reuses them)
+    fresh = tr._text_features(tr.trainable, tr.frozen, aux_nocache)
+    np.testing.assert_array_equal(
+        np.asarray(tr.aux["static_text_features"]), np.asarray(fresh)
+    )
+
+    # text-side trainables (MPT) must disable the cache
+    cfg2 = tiny_cfg(
+        "MPT", tmp_path, VISUAL_PROMPT_DEPTH=2, DEEP_VISUAL_N_CTX=2,
+        TEXT_PROMPT_DEPTH=2, DEEP_TEXT_N_CTX=2,
+    )
+    tr2 = build_trainer(cfg2)
+    assert not getattr(tr2, "static_text", False)
+    assert "static_text_features" not in tr2.aux
+
+
 def test_named_backbone_presets_cover_reference_vit_list():
     """PATH='random' architecture presets include every ViT the reference
     ships (clip/clip.py:31-41), including the 336px fine-tune whose only
