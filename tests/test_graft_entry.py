@@ -4,15 +4,19 @@ the driver's job — compiling ViT-B/16 on CPU here would be slow)."""
 
 
 def test_dryrun_multichip_8():
+    """The full registered zoo + the int8_ste_static build on the 4x2 mesh
+    (the driver's exact invocation)."""
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
 
 
 def test_dryrun_multichip_4():
+    """A 2x2 mesh sanity pass on a zoo subset (the full sweep runs above —
+    this pins only the alternate mesh factorization)."""
     import __graft_entry__ as ge
 
-    ge.dryrun_multichip(4)
+    ge.dryrun_multichip(4, trainers={"MuDPT", "CoCoOp", "VPT"})
 
 
 def test_dryrun_multichip_driver_env():
