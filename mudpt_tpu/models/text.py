@@ -142,6 +142,15 @@ _TEXT_RECOMPUTE = os.environ.get("MUDPT_TPU_TEXT_RECOMPUTE", "auto")
 _AUTO_RECOMPUTE_MIN_ROW_TOKENS = 512 * 80
 
 
+def set_text_recompute(mode) -> None:
+    """'auto' (row-token crossover above) | '1' (always recompute) | '0'
+    (always save).  Config: PERF.TEXT_RECOMPUTE; env overrides."""
+    v = str(mode)
+    assert v in ("auto", "0", "1"), mode
+    global _TEXT_RECOMPUTE
+    _TEXT_RECOMPUTE = v
+
+
 def _text_saves_off(n_rows: int, padded_seq: int = 80) -> bool:
     if _TEXT_RECOMPUTE == "auto":
         return n_rows * padded_seq >= _AUTO_RECOMPUTE_MIN_ROW_TOKENS
@@ -178,6 +187,14 @@ def text_forward(
     ``prompt_embeddings`` are token embeddings with any learnable context
     already placed (the prompt-learner's job); ``eot_idx`` (N,) are the EOT
     positions of the corresponding token rows.
+
+    A 4-D input (B, N, S, width) means B independent instance-conditioned
+    copies of the N class rows (CoCoOp: each image biases the shared ctx,
+    reference cocoop.py:148-163) -> (B, N, embed_dim).  The rows are sharded
+    over BOTH mesh axes — instances on ``data``, classes on ``model`` — and
+    each shard flattens its local block through the same tower body, so the
+    fused Pallas kernels, row packing, and the save/recompute policy apply
+    at the true B*N row count.
     """
     # slice the positional table to the row length: EOT-truncated class
     # prompts (see _TEXT_TRUNC above) arrive with S < context_length
@@ -203,15 +220,18 @@ def text_forward(
     from mudpt_tpu.ops.fused_block import saved_acts
 
     padded_seq = -(-seq_len // 8) * 8
+    # total independent rows: instance-batched 4-D inputs count B*N — the
+    # save/recompute and packing policies must see the true row count
+    n_rows = x.shape[0] * x.shape[1] if x.ndim == 4 else x.shape[0]
     ctx_saves = (
         saved_acts(False)
-        if x.ndim == 3 and _text_saves_off(x.shape[0], padded_seq)
+        if x.ndim in (3, 4) and _text_saves_off(n_rows, padded_seq)
         else contextlib.nullcontext()
     )
 
     G = (
-        _resolve_pack(x.shape[0], num_layers, padded_seq)
-        if (is_causal and x.ndim == 3)
+        _resolve_pack(n_rows, num_layers, padded_seq)
+        if (is_causal and x.ndim in (3, 4))
         else 1
     )
 
@@ -251,12 +271,31 @@ def text_forward(
         )
 
     with ctx_saves:
-        if x.ndim == 3:
+        if x.ndim == 4:
+            # instance-conditioned class rows: shard instances on 'data'
+            # AND classes on 'model'; each shard flattens its local
+            # (B/n_data, N/n_model) block through the same tower body
+            from mudpt_tpu.parallel.mesh import shard_rows_2d
+
+            def tower4(xx, blocks, prompts_op, mask_op):
+                b, n, s, d = xx.shape
+                out = tower(xx.reshape(b * n, s, d), blocks, prompts_op, mask_op)
+                return out.reshape(b, n, s, d)
+
+            x = shard_rows_2d(
+                mesh_ctx, ("data", "model"), tower4, x, p["blocks"], prompts, mask
+            )
+        elif x.ndim == 3:
             from mudpt_tpu.parallel.mesh import shard_rows
 
             x = shard_rows(mesh_ctx, "model", tower, x, p["blocks"], prompts, mask)
         else:
             x = tower(x, p["blocks"], prompts, mask)
     x = layer_norm(p["ln_final"], x)
-    pooled = jnp.take_along_axis(x, eot_idx[:, None, None], axis=1)[:, 0]
+    if x.ndim == 4:
+        pooled = jnp.take_along_axis(
+            x, eot_idx[None, :, None, None], axis=2
+        )[:, :, 0]
+    else:
+        pooled = jnp.take_along_axis(x, eot_idx[:, None, None], axis=1)[:, 0]
     return jnp.dot(pooled, p["projection"].astype(pooled.dtype))

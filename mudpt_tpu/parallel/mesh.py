@@ -126,6 +126,42 @@ def shard_rows(ctx: Optional[MeshContext], axis_name: str, fn, x, *replicated):
     )(x, *replicated)
 
 
+def shard_rows_2d(ctx: Optional[MeshContext], axis_names, fn, x, *replicated):
+    """Two-axis variant of :func:`shard_rows`: ``x``'s leading TWO axes are
+    sharded over ``axis_names = (a0, a1)`` — the CoCoOp layout, where the
+    per-instance class rows form an (instances, classes, seq, D) array with
+    instances on ``data`` and classes on ``model``.  Each shard holds its
+    local (B/n_data, n_cls/n_model) block and ``fn`` runs once per shard —
+    the whole device grid works on the O(B·n_cls) text encode with no
+    resharding (the operands already arrive 2-D-block-sharded from the
+    image tower and the class-sharded aux bank).
+
+    Same fallback rules as :func:`shard_rows`: plain call when there is no
+    mesh, the axes are trivial, the block doesn't divide, or the XLA block
+    impl is active (XLA partitions its own HLO natively)."""
+    if ctx is None:
+        return fn(x, *replicated)
+    a0, a1 = axis_names
+    s0 = ctx.mesh.shape.get(a0, 1)
+    s1 = ctx.mesh.shape.get(a1, 1)
+    if s0 * s1 <= 1 or x.shape[0] % s0 or x.shape[1] % s1:
+        return fn(x, *replicated)
+    from mudpt_tpu.models.layers import resolve_block_impl
+
+    if resolve_block_impl() != "pallas":
+        return fn(x, *replicated)
+    from jax import shard_map
+
+    in_specs = (P(a0, a1),) + tuple(P() for _ in replicated)
+    return shard_map(
+        fn,
+        mesh=ctx.mesh,
+        in_specs=in_specs,
+        out_specs=P(a0, a1),
+        check_vma=False,
+    )(x, *replicated)
+
+
 def shard_batch(ctx: MeshContext, batch: dict, host_local: bool = False) -> dict:
     """Pad the batch to a multiple of n_data and shard it on the data axis.
 

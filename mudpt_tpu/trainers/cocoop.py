@@ -4,8 +4,10 @@ Reference trainers/cocoop.py: a two-layer meta-net maps each (normalized)
 image feature to a bias added to the shared context (cocoop.py:99-103,
 148-163); each image then gets its own n_cls text encodes.  The reference
 loops over the batch in Python (cocoop.py:187-193) — here the per-instance
-text encode is a single ``jax.vmap`` over the batch, which XLA batches into
-one big MXU matmul stream instead of B sequential launches.
+text encode is ONE batched (B, n_cls, seq, D) ``text_forward`` call, which
+XLA streams through the MXU as a single matmul program and which shards
+over the whole device mesh (instances on 'data', classes on 'model' —
+models/text.py 4-D path).
 """
 
 from __future__ import annotations
@@ -66,9 +68,12 @@ def _resolve_chunk(chunk: int, batch: int, n_cls: int, padded_seq: int = 80) -> 
 
 def cocoop_forward(trainable, frozen, aux, images, *, clip_cfg, compute_dtype,
                    encode_chunk: int = -1, mesh_ctx=None):
-    # the image tower shards its batch rows; the vmap'd per-instance text
-    # encode stays un-shard_map'ed (shard_map under vmap is unsupported) —
-    # multi-chip CoCoOp relies on XLA propagation for the text direction
+    # the image tower shards its batch rows on 'data'; the per-instance
+    # text encode runs as ONE 4-D (instances, classes, seq, D) text_forward
+    # call whose rows shard over BOTH mesh axes (instances on 'data',
+    # classes on 'model') — the fused Pallas tower, row packing, and the
+    # save/recompute policy all see the true B*n_cls row count
+    # (models/text.py 4-D path + parallel/mesh.shard_rows_2d)
     img = encode_image(
         frozen, images, clip_cfg, compute_dtype=compute_dtype, mesh_ctx=mesh_ctx
     )
@@ -82,18 +87,22 @@ def cocoop_forward(trainable, frozen, aux, images, *, clip_cfg, compute_dtype,
 
     scale = jnp.exp(frozen["logit_scale"])
 
-    def per_instance(ctx_i, imf_i):
-        prompts = compose_prompts(
-            ctx_i, aux["token_prefix"], aux["token_suffix"], aux.get("index_map")
-        )
+    def encode_instances(ctx_c, img_c):
+        # (C, n_ctx, D), (C, D) -> (C, n_cls) cosine logits
+        prompts = jax.vmap(
+            lambda c: compose_prompts(
+                c, aux["token_prefix"], aux["token_suffix"], aux.get("index_map")
+            )
+        )(ctx_c)                                    # (C, n_cls, S, D)
         txt = text_forward(
             frozen["text"],
             prompts.astype(compute_dtype),
             aux["eot_idx"],
             n_head=clip_cfg.transformer_heads,
-        ).astype(jnp.float32)
+            mesh_ctx=mesh_ctx,
+        ).astype(jnp.float32)                       # (C, n_cls, E)
         txt = txt / jnp.linalg.norm(txt, axis=-1, keepdims=True)
-        return scale * txt @ imf_i  # (n_cls,)
+        return scale * jnp.einsum("cnd,cd->cn", txt, img_c)
 
     B = img.shape[0]
     n_cls = aux["token_prefix"].shape[0]
@@ -106,24 +115,9 @@ def cocoop_forward(trainable, frozen, aux, images, *, clip_cfg, compute_dtype,
     padded_seq = -(-seq // 8) * 8
     chunk = _resolve_chunk(encode_chunk, B, n_cls, padded_seq)
     if chunk >= B:
-        # the per-instance text_forward save policy sees n_cls rows — it is
-        # blind to the vmap batch factor — so apply the same row-token
-        # threshold over the TRUE B*n_cls row count here: qkv/h saves for
-        # the whole vmap'd encode would dwarf the recompute they avoid
-        import contextlib
+        return encode_instances(ctx_shifted, img)  # (B, n_cls)
 
-        from mudpt_tpu.models.text import _text_saves_off
-        from mudpt_tpu.ops.fused_block import saved_acts
-
-        ctx_sv = (
-            saved_acts(False)
-            if _text_saves_off(B * n_cls, padded_seq)
-            else contextlib.nullcontext()
-        )
-        with ctx_sv:
-            return jax.vmap(per_instance)(ctx_shifted, img)  # (B, n_cls)
-
-    # chunked: lax.map over micro-batches of instances — the vmap'd text
+    # chunked: lax.map over micro-batches of instances — the batched text
     # encode's live set scales with chunk·n_cls instead of B·n_cls.  The
     # chunk body is jax.checkpoint'ed: without it every micro-batch's
     # per-layer tower residuals (chunk·n_cls 77-token sequences × 24
@@ -153,7 +147,7 @@ def cocoop_forward(trainable, frozen, aux, images, *, clip_cfg, compute_dtype,
 
     with saved_acts(False):  # qkv/h saves for chunk·n_cls sequences would
         logits = jax.lax.map(  # dwarf the recompute they avoid
-            jax.checkpoint(lambda args: jax.vmap(per_instance)(*args)),
+            jax.checkpoint(lambda args: encode_instances(*args)),
             (ctx_c, img_c),
         )
     return logits.reshape(n_chunks * chunk, -1)[:B]

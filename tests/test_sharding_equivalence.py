@@ -62,6 +62,43 @@ def test_single_vs_mesh_equivalence(tmp_path):
     assert abs(float(acc1) - float(acc8)) < 1e-6
 
 
+def test_cocoop_single_vs_mesh_equivalence(tmp_path):
+    """CoCoOp's divergent forward (instance-conditioned text encode,
+    reference cocoop.py:187-193) on the 4x2 mesh vs 1 device: the 4-D
+    (instances, classes) row sharding is purely an execution detail."""
+    from mudpt_tpu.trainers.cocoop import CoCoOp
+
+    devices = jax.devices()
+    assert len(devices) >= 8
+
+    tr1 = CoCoOp(tiny_cfg("CoCoOp", tmp_path / "a"), devices=devices[:1])
+    cfg8 = tiny_cfg("CoCoOp", tmp_path / "b")
+    cfg8.PARALLEL.MODEL = 2
+    tr8 = CoCoOp(cfg8, devices=devices[:8])
+    assert dict(tr8.mesh.mesh.shape) == {"data": 4, "model": 2}
+
+    batch = next(iter(tr1.dm.test_loader))
+
+    def full_logits(tr):
+        images = shard_batch(tr.mesh, batch)["image"]
+        logits = tr.forward(tr.trainable, tr.frozen, tr.aux, images)
+        return np.asarray(logits[:, : tr.num_classes], np.float32)
+
+    np.testing.assert_allclose(
+        full_logits(tr1), full_logits(tr8), rtol=1e-5, atol=1e-5
+    )
+
+    sb1, sb8 = shard_batch(tr1.mesh, batch), shard_batch(tr8.mesh, batch)
+    _, _, loss1, acc1 = tr1._train_step(
+        tr1.trainable, tr1.opt_state, tr1.frozen, tr1.aux, sb1
+    )
+    _, _, loss8, acc8 = tr8._train_step(
+        tr8.trainable, tr8.opt_state, tr8.frozen, tr8.aux, sb8
+    )
+    assert abs(float(loss1) - float(loss8)) < 1e-5
+    assert abs(float(acc1) - float(acc8)) < 1e-6
+
+
 def test_mesh_shape_sweep(tmp_path):
     """Every mesh factorization of 8 devices — pure-data (8,1), mixed (2,4),
     and pure-model (1,8) — matches the 1-device loss.  (1,8) additionally
