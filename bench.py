@@ -565,7 +565,12 @@ def _run(args) -> None:
         if _rbi() == "pallas":
             from mudpt_tpu.models import text as _TX
 
-            vis_frac = _FB.saved_fraction_for_width(clip_cfg.vision_width)
+            # row-tokens decide the wide-MLP (ViT-L) h-save auto policy —
+            # pass them so the executed-FLOPs accounting tracks the same
+            # gate the kernels take (ops/fused_block.wide_mlp_save)
+            vis_frac = _FB.saved_fraction_for_width(
+                clip_cfg.vision_width, args.batch * (-(-vis_seq // 8) * 8)
+            )
             txt_frac = (
                 _FB.SAVED_FWD_FRACTION_RECOMPUTE
                 if _TX._text_saves_off(args.n_cls, -(-txt_seq // 8) * 8)

@@ -226,6 +226,31 @@ class TrainerCfg:
 
 
 @_node
+class PerfCfg:
+    """Kernel / memory / numerics policy (TPU execution detail — no
+    reference analogue; the reference's equivalents live inside
+    torch/cuDNN).  Applied at trainer build (config/perf.py).  Precedence
+    per knob: module default < programmatic setter (tests, A/B tools) <
+    explicit config value < ``MUDPT_TPU_<FIELD>`` env var — env is the
+    ad-hoc override layer, the config is the durable one.  The RESOLVED
+    live values are recorded in ``metrics.jsonl`` (kind=perf_config) and
+    serving ``meta.json``, so a run's numerics/perf envelope reproduces
+    from its config dump alone.  ``TRAIN.QUANT`` is the quantization knob
+    (kept under TRAIN: it changes the training objective, not just
+    execution)."""
+
+    BLOCK: str = "auto"           # auto | pallas | xla   (models/layers)
+    SAVE_ACTS: bool = True        # save-activations backward (ops/fused_block)
+    SAVE_MLP_WIDE: str = "auto"   # auto | 1 | 0 — wide-MLP h-save, D in (768,1024]
+    SCAN_UNROLL: str = "auto"     # auto (full unroll) | int  (models/transformer)
+    REMAT: str = "none"           # none | selective | full  (XLA block impl)
+    TEXT_PACK: int = 0            # 0 auto | 1 off | G rows per kernel row
+    TEXT_TRUNC: str = "auto"      # auto (EOT-truncate) | 0 (full 77 rows)
+    TEXT_RECOMPUTE: str = "auto"  # auto | 0 (save) | 1 (recompute)
+    LN: str = "fp32"              # fp32 (reference parity) | bf16 (experiment)
+
+
+@_node
 class ParallelCfg:
     """TPU mesh layout.  DATA shards the batch, MODEL shards the class axis
     of the text tower (the dominant cost when n_cls is large).  0 = auto."""
@@ -249,6 +274,7 @@ class Config:
     TEST: TestCfg = field(default_factory=TestCfg)
     TRAINER: TrainerCfg = field(default_factory=TrainerCfg)
     PARALLEL: ParallelCfg = field(default_factory=ParallelCfg)
+    PERF: PerfCfg = field(default_factory=PerfCfg)
 
     # -- reflective hyperparameter access (replaces the reference's eval) ----
     def trainer_params(self, name: Optional[str] = None):
@@ -275,6 +301,17 @@ class Config:
 # legitimately accept YAML booleans
 _TRI_STATE_KEYS = frozenset({"DATALOADER.HOST_SHARD"})
 
+# string-typed knobs whose value space includes numerals ("auto" | "0" | "1"
+# | an int) — YAML writes those as integers, which merge as their string form
+_STRINGLY_SCALAR_KEYS = frozenset(
+    {
+        "PERF.SAVE_MLP_WIDE",
+        "PERF.SCAN_UNROLL",
+        "PERF.TEXT_TRUNC",
+        "PERF.TEXT_RECOMPUTE",
+    }
+)
+
 
 def _coerce(value: Any, target: Any, key: str):
     """Coerce a YAML/CLI value to the type of the existing field value."""
@@ -300,6 +337,13 @@ def _coerce(value: Any, target: Any, key: str):
         return float(value)
     if isinstance(target, tuple) and isinstance(value, (list, tuple)):
         return tuple(value)
+    if (
+        isinstance(target, str)
+        and isinstance(value, int)
+        and not isinstance(value, bool)
+        and key in _STRINGLY_SCALAR_KEYS
+    ):
+        return str(value)
     if isinstance(target, str) and isinstance(value, bool):
         # ONLY the tri-state fields accept YAML booleans (reference-config
         # compatibility); a bool landing in any other string field (e.g.

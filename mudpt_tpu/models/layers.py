@@ -56,6 +56,14 @@ def _calib_record(x: jax.Array) -> None:
 _LN_DTYPE = os.environ.get("MUDPT_TPU_LN", "fp32")  # fp32 (parity) | bf16 (experiment)
 
 
+def set_ln_dtype(name: str) -> None:
+    """'fp32' (reference parity, clip/model.py:163-169) | 'bf16' (experiment
+    — NOT reference numerics).  Config: PERF.LN; env MUDPT_TPU_LN overrides."""
+    assert name in ("fp32", "bf16"), name
+    global _LN_DTYPE
+    _LN_DTYPE = name
+
+
 def layer_norm(p, x: jax.Array, eps: float = 1e-5) -> jax.Array:
     dtype = x.dtype
     if _LN_DTYPE == "bf16":

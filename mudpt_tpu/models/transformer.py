@@ -77,6 +77,16 @@ def set_remat_mode(name: str) -> None:
     _REMAT_MODE = name
 
 
+def set_scan_unroll(value) -> None:
+    """'auto' (full unroll — see the measurement note above) or an explicit
+    unroll factor.  Config: PERF.SCAN_UNROLL; env MUDPT_TPU_SCAN_UNROLL
+    overrides."""
+    v = str(value)
+    assert v == "auto" or v.lstrip("-").isdigit(), value
+    global _SCAN_UNROLL
+    _SCAN_UNROLL = v
+
+
 def make_injection_schedule(
     num_layers: int,
     deep_prompts: Optional[jax.Array],

@@ -36,6 +36,7 @@ from __future__ import annotations
 import contextlib
 import functools
 import os
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -72,21 +73,47 @@ def save_acts_enabled() -> bool:
     return _SAVE_ACTS
 
 
-def saved_fraction_for_width(width: int) -> float:
+# Wide-MLP (768 < D <= 1024, i.e. ViT-L vision) h-save policy.  Saving the
+# (B, S, 4D) pre-activation at D=1024 costs ~2.1 MB/img/layer of HBM: it
+# measured +4.6% and model-MFU 0.706 at ViT-L B=96 but OOMs at the
+# throughput-optimal batch (docs/BENCHMARKS.md round 3).  'auto' (default)
+# enables the save exactly while the per-shard row-token count stays within
+# the measured-safe budget (B <= ~112 at ViT-L's padded seq 264), so the
+# default ViT-L bench hits the opt-in number without an env var; '1'/'0'
+# force.  Env MUDPT_TPU_SAVE_MLP_WIDE overrides the config (config/perf).
+_SAVE_MLP_WIDE = "auto"
+_WIDE_SAVE_ROW_TOKENS = 112 * 264
+
+
+def set_save_mlp_wide(mode: str) -> None:
+    assert str(mode) in ("auto", "1", "0"), mode
+    global _SAVE_MLP_WIDE
+    _SAVE_MLP_WIDE = str(mode)
+
+
+def wide_mlp_save(row_tokens: Optional[int] = None) -> bool:
+    """Whether the MLP h-save applies at D in (768, 1024] for a call over
+    ``row_tokens`` = rows x padded-seq (None = unknown -> the static
+    budget check is skipped and 'auto' says yes)."""
+    mode = os.environ.get("MUDPT_TPU_SAVE_MLP_WIDE", _SAVE_MLP_WIDE)
+    if mode == "auto":
+        return row_tokens is None or row_tokens <= _WIDE_SAVE_ROW_TOKENS
+    return mode == "1"
+
+
+def saved_fraction_for_width(width: int, row_tokens: Optional[int] = None) -> float:
     """Forward-FLOPs fraction the backward skips at a given tower width,
     matching the per-width gating in this module: D<=768 saves qkv + MLP
-    pre-activation (0.96); 768<D<=1024 saves qkv but the MLP half recomputes
-    its fc (~0.65); wider falls back to full-recompute behavior (0.42).
+    pre-activation (0.96); 768<D<=1024 saves qkv and — within the wide-MLP
+    policy above — the MLP pre-activation (0.96), else recomputes its fc
+    (~0.65); wider falls back to full-recompute behavior (0.42).
     Recompute mode is 0.42 everywhere."""
     if not _SAVE_ACTS:
         return SAVED_FWD_FRACTION_RECOMPUTE
     if width <= 768:
         return 0.96
     if width <= 1024:
-        # MUDPT_TPU_SAVE_MLP_WIDE lifts the MLP h-save gate to D=1024
-        # (fits HBM at ViT-L batch <= ~112; +4.6% and model-MFU 0.706 at
-        # B=96 — docs/BENCHMARKS.md round 3)
-        return 0.96 if os.environ.get("MUDPT_TPU_SAVE_MLP_WIDE") == "1" else 0.65
+        return 0.96 if wide_mlp_save(row_tokens) else 0.65
     return SAVED_FWD_FRACTION_RECOMPUTE
 
 
@@ -735,11 +762,9 @@ def _mlp_fwd(x, ln_s, ln_b, fc_w, fc_b, proj_w, proj_b):
     B, S, D = x.shape
     Dh = fc_w.shape[1]
     params = (ln_s, ln_b, fc_w, fc_b, proj_w, proj_b)
-    # h-saving at D=1024 puts ~2.1 MB/img/layer more in HBM and measured an
-    # OOM at the throughput-optimal ViT-L batch -- wide monolithic MLP uses
-    # recompute by default; MUDPT_TPU_SAVE_MLP_WIDE=1 lifts the gate for
-    # A/B at smaller batches (VERDICT r2 item 7)
-    save_limit = 1024 if os.environ.get("MUDPT_TPU_SAVE_MLP_WIDE") == "1" else 768
+    # h-saving at D=1024 puts ~2.1 MB/img/layer more in HBM — applied only
+    # within the wide-MLP row-token budget (policy at wide_mlp_save above)
+    save_limit = 1024 if wide_mlp_save(B * S) else 768
     if _SAVE_ACTS and D <= save_limit:
         y, h = _call_mlp(
             _mlp_fwd_save_kernel, x, params, (),

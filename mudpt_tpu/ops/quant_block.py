@@ -293,13 +293,10 @@ def _q8_ste_fwd(x, ln1_s, ln1_b, qkv_w, qkv_b, out_w, out_b,
 
     params = (ln1_s, ln1_b, qkv_w, qkv_b, out_w, out_b,
               ln2_s, ln2_b, fc_w, fc_b, proj_w, proj_b)
-    # same width gate as the bf16 tier (fused_block save_limit): the save
-    # set includes h (S x 4D), which at D=1024 OOMs HBM at the
-    # throughput-optimal batch unless MUDPT_TPU_SAVE_MLP_WIDE caps the
-    # batch instead (measured, docs/BENCHMARKS.md round 3)
-    save_limit = (
-        1024 if os.environ.get("MUDPT_TPU_SAVE_MLP_WIDE") == "1" else 768
-    )
+    # same width gate as the bf16 tier: the save set includes h (S x 4D),
+    # which at D=1024 fits HBM only within the wide-MLP row-token budget
+    # (fused_block.wide_mlp_save — measured, docs/BENCHMARKS.md round 3)
+    save_limit = 1024 if FB.wide_mlp_save(x.shape[0] * x.shape[1]) else 768
     if FB.save_acts_enabled() and x.shape[-1] <= save_limit:
         y, y1, qkv, h = _q8_save_forward(
             x, _quantize_layer(params), n_head, causal, fc_w.shape[1]
@@ -660,9 +657,7 @@ def _q8_ste_static_fwd(x, scales, ln1_s, ln1_b, qkv_w, qkv_b, out_w, out_b,
 
     params = (ln1_s, ln1_b, qkv_w, qkv_b, out_w, out_b,
               ln2_s, ln2_b, fc_w, fc_b, proj_w, proj_b)
-    save_limit = (
-        1024 if os.environ.get("MUDPT_TPU_SAVE_MLP_WIDE") == "1" else 768
-    )
+    save_limit = 1024 if FB.wide_mlp_save(x.shape[0] * x.shape[1]) else 768
     if FB.save_acts_enabled() and x.shape[-1] <= save_limit:
         qparams, r = _quantize_layer_static(params, scales)
         y, y1, qkv, h = _q8_static_save_forward(

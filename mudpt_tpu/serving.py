@@ -298,7 +298,14 @@ def export_trainer(path: str, trainer, *, batch: Optional[int] = None,
             }
         return tree
 
-    extra_meta = {"trainer": trainer.cfg.TRAINER.NAME}
+    from mudpt_tpu.config.perf import perf_snapshot
+
+    # the resolved perf/numerics policy the trainer ran under: together
+    # with the config dump this reproduces the artifact's numerics
+    extra_meta = {
+        "trainer": trainer.cfg.TRAINER.NAME,
+        "perf": {k: str(v) for k, v in perf_snapshot().items()},
+    }
     if block_impl == "pallas_int8_static":
         if inference is None and text_fn is None:
             raise ValueError(

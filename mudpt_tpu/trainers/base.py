@@ -144,10 +144,20 @@ class TrainerBase:
             cfg.TRAIN.QUANT if cfg.TRAIN.QUANT != "none"
             else os.environ.get("MUDPT_TPU_QUANT", "none")
         )
+        # PERF knobs (block impl, save strategies, text packing/truncation,
+        # remat, LN dtype): explicit config values apply here, env vars
+        # override, defaults leave programmatic state alone (config/perf.py)
+        from mudpt_tpu.config.perf import apply_perf_config
+
+        self.perf_resolved = apply_perf_config(cfg.PERF)
         self.dm = DataManager(cfg, dataset, n_data=self.mesh.n_data)
         self.num_classes = self.dm.num_classes
         self.classnames = self.dm.classnames
         self.metrics = MetricsLogger(cfg.OUTPUT_DIR)
+        # record the RESOLVED perf/numerics policy: with this line a run's
+        # metrics.jsonl + config dump fully reproduce its execution envelope
+        # even when env overrides were in play
+        self.metrics.log({"kind": "perf_config", **self.perf_resolved})
         # class axis padded to a multiple of the model-parallel degree;
         # loss/eval statically slice back to num_classes
         self.n_cls_padded = (
@@ -279,8 +289,18 @@ class TrainerBase:
                 frozen["visual"],
                 blocks=QB.attach_scales(frozen["visual"]["blocks"], vscales),
             )
-        self.frozen = replicate(self.mesh, frozen)
+        self._set_frozen(frozen)
         self._static_calibrated = True
+
+    def _set_frozen(self, frozen):
+        """EVERY post-build mutation of the frozen tree goes through here:
+        the static text cache is a pure function of ``frozen`` (plus the
+        trainable-independent prompts), so it is refreshed in the same
+        motion — a new recalibration/recast path cannot leave training
+        against stale cached features (tests/test_aux.py pins this)."""
+        self.frozen = replicate(self.mesh, frozen)
+        if "static_text_features" in (getattr(self, "aux", None) or {}):
+            self._cache_static_text()
 
     # ------------------------------------------------------------------
     def _cache_static_text(self):
@@ -790,8 +810,17 @@ class TrainerBase:
         # full per-batch forward.  Lazy on the first batch so an empty split
         # never pays the n_cls x 77 encode.
         text_fn = getattr(self, "_text_features", None)
-        # static_text trainers already hold the encoded tower in aux
+        # static_text trainers already hold the encoded tower in aux; it is
+        # passed as the explicit txt argument, so strip it from the aux the
+        # jitted eval sees — no duplicated device operand, and the eval jit
+        # keeps one aux structure across static and per-pass-encoded
+        # trainers (no structural retrace)
         txt = self.aux.get("static_text_features") if self.aux else None
+        eval_aux = (
+            {k: v for k, v in self.aux.items() if k != "static_text_features"}
+            if txt is not None
+            else self.aux
+        )
         for batch in loader:
             if text_fn is not None and txt is None:
                 txt = text_fn(self.trainable, self.frozen, self.aux)
@@ -804,7 +833,7 @@ class TrainerBase:
                 )
                 if txt is None
                 else self._eval_step_cached(
-                    self.trainable, self.frozen, self.aux, sb["image"], txt
+                    self.trainable, self.frozen, eval_aux, sb["image"], txt
                 )
             )
             n_local = len(batch["label"])
@@ -961,8 +990,9 @@ class TrainerBase:
         if quant_mode() in ("int8_static", "int8_ste_static") and getattr(
             self, "_static_calibrated", False
         ):
+            # recalibration mutates frozen via _set_frozen, which refreshes
+            # the static text cache in the same motion
             self._calibrate_static_quant()
-            self._cache_static_text()  # scales changed under the cache
 
     # -- abstract -------------------------------------------------------
     # subclasses must set self.forward (a pure function) in build_model()

@@ -346,11 +346,11 @@ def test_q8_full_tower_eval_path():
 
 
 def test_q8_ste_save_gate_matches_bf16_width_limit(monkeypatch):
-    """The STE forward must apply the bf16 tier's save-width gate: at
-    D>768 the h-save set (S x 4D bf16 per image per layer) OOMs HBM at the
-    throughput-optimal ViT-L batch (docs/BENCHMARKS.md round 3), so wide
-    layers take the recompute branch unless MUDPT_TPU_SAVE_MLP_WIDE opts
-    back in."""
+    """The STE forward must apply the bf16 tier's save-width gate at
+    D>768: the wide-MLP 'auto' policy (fused_block.wide_mlp_save) saves h
+    within the measured-safe row-token budget and recomputes beyond it
+    (where the S x 4D save set OOMs HBM — docs/BENCHMARKS.md round 3);
+    MUDPT_TPU_SAVE_MLP_WIDE=1/0 force either branch."""
     from mudpt_tpu.ops import fused_block as FB
 
     def flat(p):
@@ -369,19 +369,29 @@ def test_q8_ste_save_gate_matches_bf16_width_limit(monkeypatch):
         raise sentinel
 
     monkeypatch.setattr(QB, "_q8_save_forward", boom)
+    monkeypatch.setattr(FB, "_SAVE_MLP_WIDE", "auto")
     with FB.saved_acts(True):
-        # D=896 > 768: recompute branch — the save kernel must not run
+        # D=896 > 768, tiny rows: 'auto' fits the budget -> save branch
         x = jnp.asarray(rng.randn(1, 8, 896) * 0.1, jnp.float32)
+        with pytest.raises(RuntimeError, match="save kernel"):
+            QB._q8_ste_fwd(x, *flat(_params(rng, 896)), 14, False)
+
+        # beyond the row-token budget the gate closes -> recompute branch
+        monkeypatch.setattr(FB, "_WIDE_SAVE_ROW_TOKENS", 4)
         y, res = QB._q8_ste_fwd(x, *flat(_params(rng, 896)), 14, False)
         assert res[1] is None and y.shape == x.shape
 
-        # wide-save opt-in lifts the gate to D=1024 (same env knob)
+        # explicit env force wins over the budget in both directions
         monkeypatch.setenv("MUDPT_TPU_SAVE_MLP_WIDE", "1")
         with pytest.raises(RuntimeError, match="save kernel"):
             QB._q8_ste_fwd(x, *flat(_params(rng, 896)), 14, False)
+        monkeypatch.setattr(FB, "_WIDE_SAVE_ROW_TOKENS", 112 * 264)
+        monkeypatch.setenv("MUDPT_TPU_SAVE_MLP_WIDE", "0")
+        y, res = QB._q8_ste_fwd(x, *flat(_params(rng, 896)), 14, False)
+        assert res[1] is None
         monkeypatch.delenv("MUDPT_TPU_SAVE_MLP_WIDE")
 
-        # D=64 <= 768: the save branch is the fast default
+        # D=64 <= 768: the save branch is the fast default regardless
         x64 = jnp.asarray(rng.randn(1, 8, 64) * 0.1, jnp.float32)
         with pytest.raises(RuntimeError, match="save kernel"):
             QB._q8_ste_fwd(x64, *flat(_params(rng, 64)), 2, False)

@@ -76,3 +76,32 @@ def test_uumudpt_trainable_set(tmp_path):
         "visual_ctx_deep_prompts",
         "v2t",
     }
+
+
+def test_static_text_cache_tracks_frozen(tmp_path):
+    """Round-3 advisor finding: any post-build mutation of the frozen tree
+    must refresh the static text cache in the same motion (_set_frozen) —
+    a stale cache would silently train/eval against the old backbone."""
+    import jax
+
+    from tests.test_trainers import tiny_cfg as _tiny
+
+    cfg = _tiny("VPT", tmp_path, VISUAL_PROMPT_DEPTH=2, DEEP_VISUAL_N_CTX=2)
+    tr = build_trainer(cfg)
+    assert "static_text_features" in tr.aux
+    before = np.asarray(tr.aux["static_text_features"])
+
+    frozen = jax.device_get(tr.frozen)
+    frozen["text"]["projection"] = frozen["text"]["projection"] * 2.0
+    tr._set_frozen(frozen)
+
+    after = np.asarray(tr.aux["static_text_features"])
+    fresh = np.asarray(
+        tr._text_features(
+            tr.trainable,
+            tr.frozen,
+            {k: v for k, v in tr.aux.items() if k != "static_text_features"},
+        )
+    )
+    np.testing.assert_allclose(after, fresh, rtol=1e-6, atol=1e-7)
+    assert np.abs(after - before).max() > 0, "cache did not refresh"
