@@ -73,6 +73,18 @@ VIT_L14 = CLIPConfig(
     embed_dim=768, vision_layers=24, vision_width=1024, vision_patch_size=14,
     transformer_width=768, transformer_heads=12, transformer_layers=12,
 )
+# RN-family presets (reference clip/clip.py:31-41 ships RN50/RN101 too;
+# dims per the shape-inference rules of clip/model.py:892-898).  These give
+# PATH='random' (no-network) runs an RN tower; real checkpoints infer their
+# architecture from the state dict (models/convert.infer_config).
+RN50 = CLIPConfig(
+    embed_dim=1024, vision_layers=16, vision_width=64, vision_patch_size=0,
+    vision_arch="resnet", vision_layers_per_stage=(3, 4, 6, 3),
+)
+RN101 = CLIPConfig(
+    embed_dim=512, vision_layers=33, vision_width=64, vision_patch_size=0,
+    vision_arch="resnet", vision_layers_per_stage=(3, 4, 23, 3),
+)
 
 
 def _init_block_stack(key, layers: int, width: int) -> dict:
@@ -108,21 +120,87 @@ def init_clip_params(key: jax.Array, cfg: CLIPConfig = VIT_B16) -> dict:
     return _init_clip_params(key, cfg)
 
 
+def _init_resnet_visual(key: jax.Array, cfg: CLIPConfig) -> dict:
+    """Random ModifiedResNet params in the converter's layout
+    (models/resnet.convert_resnet_visual): torch-default conv/linear
+    bounds, unit BN statistics.  For PATH='random' smoke/bench runs —
+    real RN weights come through the checkpoint converter."""
+    w = cfg.vision_width
+    C = w * 32  # attnpool embed dim (reference clip/model.py:36-43 stages)
+    keys = iter(jax.random.split(key, 8 + 10 * sum(cfg.vision_layers_per_stage)))
+
+    def conv(kk, cin, cout):
+        bound = (kk * kk * cin) ** -0.5
+        return jax.random.uniform(
+            next(keys), (kk, kk, cin, cout), minval=-bound, maxval=bound
+        )
+
+    def bn(ch):
+        return {"scale": jnp.ones((ch,)), "bias": jnp.zeros((ch,)),
+                "mean": jnp.zeros((ch,)), "var": jnp.ones((ch,))}
+
+    def lin(din, dout):
+        bound = din ** -0.5
+        kw, kb = jax.random.split(next(keys))
+        return {
+            "w": jax.random.uniform(kw, (din, dout), minval=-bound, maxval=bound),
+            "b": jax.random.uniform(kb, (dout,), minval=-bound, maxval=bound),
+        }
+
+    p = {
+        "conv1": conv(3, 3, w // 2), "bn1": bn(w // 2),
+        "conv2": conv(3, w // 2, w // 2), "bn2": bn(w // 2),
+        "conv3": conv(3, w // 2, w), "bn3": bn(w),
+    }
+    inplanes = w
+    for s, blocks in enumerate(cfg.vision_layers_per_stage, start=1):
+        planes = w * (2 ** (s - 1))
+        stage = {}
+        for b in range(blocks):
+            bp = {
+                "conv1": conv(1, inplanes, planes), "bn1": bn(planes),
+                "conv2": conv(3, planes, planes), "bn2": bn(planes),
+                "conv3": conv(1, planes, planes * 4), "bn3": bn(planes * 4),
+            }
+            stride = 2 if (s > 1 and b == 0) else 1
+            # reference Bottleneck downsample condition (clip/model.py:31-39)
+            if stride > 1 or inplanes != planes * 4:
+                bp["downsample"] = {
+                    "conv": conv(1, inplanes, planes * 4),
+                    "bn": bn(planes * 4),
+                }
+            stage[str(b)] = bp
+            inplanes = planes * 4
+        p[f"layer{s}"] = stage
+    spacial = cfg.image_resolution // 32
+    p["attnpool"] = {
+        "pos_embedding": jax.random.normal(
+            next(keys), (spacial * spacial + 1, C)
+        ) * (C ** -0.5),
+        "q": lin(C, C), "k": lin(C, C), "v": lin(C, C),
+        "c": lin(C, cfg.embed_dim),
+    }
+    return p
+
+
 def _init_clip_params(key: jax.Array, cfg: CLIPConfig = VIT_B16) -> dict:
     kv, kt, k1, k2, k3, k4, k5 = jax.random.split(key, 7)
     vw, tw = cfg.vision_width, cfg.transformer_width
     vscale = vw ** -0.5
-    visual = {
-        "patch_w": jax.random.normal(
-            k1, (cfg.vision_patch_size ** 2 * 3, vw)
-        ) * vscale,
-        "class_embedding": jax.random.normal(k2, (vw,)) * vscale,
-        "pos_embedding": jax.random.normal(k3, (cfg.vision_seq_len, vw)) * vscale,
-        "ln_pre": {"scale": jnp.ones((vw,)), "bias": jnp.zeros((vw,))},
-        "blocks": _init_block_stack(kv, cfg.vision_layers, vw),
-        "ln_post": {"scale": jnp.ones((vw,)), "bias": jnp.zeros((vw,))},
-        "proj": jax.random.normal(k4, (vw, cfg.embed_dim)) * vscale,
-    }
+    if cfg.vision_arch == "resnet":
+        visual = _init_resnet_visual(kv, cfg)
+    else:
+        visual = {
+            "patch_w": jax.random.normal(
+                k1, (cfg.vision_patch_size ** 2 * 3, vw)
+            ) * vscale,
+            "class_embedding": jax.random.normal(k2, (vw,)) * vscale,
+            "pos_embedding": jax.random.normal(k3, (cfg.vision_seq_len, vw)) * vscale,
+            "ln_pre": {"scale": jnp.ones((vw,)), "bias": jnp.zeros((vw,))},
+            "blocks": _init_block_stack(kv, cfg.vision_layers, vw),
+            "ln_post": {"scale": jnp.ones((vw,)), "bias": jnp.zeros((vw,))},
+            "proj": jax.random.normal(k4, (vw, cfg.embed_dim)) * vscale,
+        }
     text = {
         "token_embedding": jax.random.normal(k5, (cfg.vocab_size, tw)) * 0.02,
         "pos_embedding": jax.random.normal(kt, (cfg.context_length, tw)) * 0.01,
@@ -150,6 +228,26 @@ _CAST_PATHS = (
 )
 
 
+def _cast_rn_visual(tree: dict, dtype) -> dict:
+    """RN tower cast rules (reference convert_weights touches Conv + the
+    attnpool Linears, clip/model.py:857-878): conv kernels and the q/k/v/c
+    projections go to the reduced dtype; BatchNorm STATISTICS and the
+    positional embedding stay float32 (batch_norm folds scale*rsqrt(var)
+    in fp32 — models/resnet.py)."""
+    out = {}
+    for k, val in tree.items():
+        if isinstance(val, dict):
+            if k.startswith("bn") or k == "bn":
+                out[k] = val
+            elif k in ("q", "k", "v", "c"):
+                out[k] = jax.tree_util.tree_map(lambda x: x.astype(dtype), val)
+            else:
+                out[k] = _cast_rn_visual(val, dtype)
+        else:
+            out[k] = val.astype(dtype) if k.startswith("conv") else val
+    return out
+
+
 def cast_matmul_weights(params: dict, dtype) -> dict:
     """Cast only matmul/attention weights (incl. biases, as the reference
     halves Linear biases too); embeddings and LayerNorms stay float32."""
@@ -158,11 +256,17 @@ def cast_matmul_weights(params: dict, dtype) -> dict:
     def cast_sub(tree):
         return jax.tree_util.tree_map(lambda x: x.astype(dtype), tree)
 
+    if isinstance(out.get("visual"), dict) and "attnpool" in out["visual"]:
+        out["visual"] = _cast_rn_visual(out["visual"], dtype)
+
     for path in _CAST_PATHS:
         node = out
         for k in path[:-1]:
-            node = node[k]
-        node[path[-1]] = cast_sub(node[path[-1]])
+            node = node.get(k) if isinstance(node, dict) else None
+            if node is None:
+                break
+        if isinstance(node, dict) and path[-1] in node:
+            node[path[-1]] = cast_sub(node[path[-1]])
     return out
 
 

@@ -29,6 +29,8 @@ import optax
 from mudpt_tpu.data import DataManager
 from mudpt_tpu.models.clip import (
     CLIPConfig,
+    RN50,
+    RN101,
     VIT_B16,
     VIT_B32,
     VIT_L14,
@@ -72,6 +74,19 @@ _NAMED_CONFIGS = {
     # tower, 24x24 patch grid (the converter derives this from a real
     # checkpoint — this preset covers PATH='random' runs)
     "ViT-L/14@336px": dataclasses.replace(VIT_L14, image_resolution=336),
+    # RN-family presets (PATH='random' runs; real checkpoints self-infer).
+    # Usable with the text-prompt trainers: ZeroshotCLIP(2), CoOp, CoCoOp.
+    "RN50": RN50,
+    "RN101": RN101,
+    "test-tiny-rn": dataclasses.replace(
+        TINY_TEST,
+        embed_dim=64,
+        vision_width=8,
+        vision_patch_size=0,
+        vision_arch="resnet",
+        vision_layers_per_stage=(1, 1, 1, 1),
+        vision_layers=4,
+    ),
     "test-tiny": TINY_TEST,
 }
 
