@@ -32,7 +32,8 @@ from mudpt_tpu.utils.registry import TRAINER_REGISTRY
 from mudpt_tpu.utils.rng import new_rng
 
 
-def _resolve_chunk(chunk: int, batch: int, n_cls: int, padded_seq: int = 80) -> int:
+def _resolve_chunk(chunk: int, batch: int, n_cls: int, padded_seq: int = 80,
+                   n_shards: int = 1) -> int:
     """Micro-batch size for the per-instance text encode.
 
     0 = auto: cap one micro-batch's live set by ROW-TOKENS (n_cls × chunk ×
@@ -47,11 +48,15 @@ def _resolve_chunk(chunk: int, batch: int, n_cls: int, padded_seq: int = 80) -> 
     unchunked 336 ms — docs/BENCHMARKS.md).  EOT-truncated rows
     (models/text.py) shrink the per-sequence footprint proportionally, so
     the same budget admits proportionally more instances per chunk.
+    ``n_shards``: the budget bounds the PER-DEVICE live set — on a mesh
+    where the (instances, classes) rows shard over n devices (the 4-D
+    text path), each device holds 1/n of the rows, so the global budget
+    scales by the shard count and chunking engages n times later.
     -1 = never chunk."""
     if chunk == -1:
         return batch
     if chunk == 0:
-        budget_row_tokens = 3276 * 80
+        budget_row_tokens = 3276 * 80 * max(1, n_shards)
         cap = max(1, budget_row_tokens // max(1, n_cls * padded_seq))
         if cap >= batch:
             return batch
@@ -113,7 +118,16 @@ def cocoop_forward(trainable, frozen, aux, images, *, clip_cfg, compute_dtype,
         + aux["token_suffix"].shape[1]
     )
     padded_seq = -(-seq // 8) * 8
-    chunk = _resolve_chunk(encode_chunk, B, n_cls, padded_seq)
+    # rows shard over the whole mesh when the (B, n_cls) block divides it
+    # (shard_rows_2d / XLA propagation) — the auto-chunk HBM budget is
+    # per-device, so it scales with the shard count
+    n_shards = 1
+    if mesh_ctx is not None:
+        nd = mesh_ctx.mesh.shape.get("data", 1)
+        nm = mesh_ctx.mesh.shape.get("model", 1)
+        if B % nd == 0 and n_cls % nm == 0:
+            n_shards = nd * nm
+    chunk = _resolve_chunk(encode_chunk, B, n_cls, padded_seq, n_shards)
     if chunk >= B:
         return encode_instances(ctx_shifted, img)  # (B, n_cls)
 

@@ -126,6 +126,10 @@ def test_cocoop_auto_chunk_scales_with_row_length():
     assert _resolve_chunk(0, 2, 1000, 24) == 2   # capped at batch
     assert _resolve_chunk(-1, 8, 1000, 24) == 8  # never chunk
     assert _resolve_chunk(4, 8, 1000, 24) == 4   # explicit forces
+    # mesh-sharded rows: the per-device budget scales by the shard count
+    assert _resolve_chunk(0, 8, 1000, 80, n_shards=8) == 8    # unchunked
+    assert _resolve_chunk(0, 64, 1000, 80, n_shards=8) == 16  # cap 26 -> divisor
+    assert _resolve_chunk(0, 8, 1000, 80, n_shards=1) == 2    # single chip as before
 
 
 def test_cocoop_unchunked_saves_off_branch_matches(monkeypatch):
