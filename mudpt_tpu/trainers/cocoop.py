@@ -37,17 +37,16 @@ def _resolve_chunk(chunk: int, batch: int, n_cls: int, padded_seq: int = 80,
     """Micro-batch size for the per-instance text encode.
 
     0 = auto: cap one micro-batch's live set by ROW-TOKENS (n_cls × chunk ×
-    padded_seq).  A 77-token (padded 80) D=512 sequence through the
-    12-layer tower retains ~1.9 MB of per-half-block residuals for its
-    backward (recompute-mode kernels; the chunk/large-vmap bodies disable
-    activation saving), so the 256k-row-token budget bounds a chunk's
-    backward live set to ~6 GB — ImageNet-scale CoCoOp (n_cls=1000) fits
-    a 16 GB chip at any batch size, and fewer/larger chunks win big: the
-    lax.map serialization + checkpoint recompute dominate the step
-    (measured at n_cls=1000, B=8, S=24: chunk 3 554 ms, chunk 4 445 ms,
-    unchunked 336 ms — docs/BENCHMARKS.md).  EOT-truncated rows
-    (models/text.py) shrink the per-sequence footprint proportionally, so
-    the same budget admits proportionally more instances per chunk.
+    padded_seq) — unchunked whenever the whole batch fits, because the
+    lax.map serialization + checkpoint recompute cost ~20-40% (measured
+    at n_cls=1000: B=8/S=24 chunk 4 445 ms vs unchunked 336; B=32/S=16
+    chunk 8 1686 ms vs unchunked 1385.7 — docs/BENCHMARKS.md round 4).
+    The 512k-row-token budget is the MEASURED HBM boundary on the 16 GB
+    chip: B=32 x n_cls=1000 x S=16 (512k row-tokens, recompute-mode
+    backward) fits with ~2 GB to spare, while B=40 (640k) compiles to a
+    17.18 G program — OOM by 1.43 G.  EOT-truncated rows (models/text.py)
+    shrink the per-sequence footprint proportionally, so the same budget
+    admits proportionally more instances per chunk.
     ``n_shards``: the budget bounds the PER-DEVICE live set — on a mesh
     where the (instances, classes) rows shard over n devices (the 4-D
     text path), each device holds 1/n of the rows, so the global budget
@@ -56,7 +55,7 @@ def _resolve_chunk(chunk: int, batch: int, n_cls: int, padded_seq: int = 80,
     if chunk == -1:
         return batch
     if chunk == 0:
-        budget_row_tokens = 3276 * 80 * max(1, n_shards)
+        budget_row_tokens = 6553 * 80 * max(1, n_shards)
         cap = max(1, budget_row_tokens // max(1, n_cls * padded_seq))
         if cap >= batch:
             return batch

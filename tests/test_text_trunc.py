@@ -120,16 +120,18 @@ def test_cocoop_auto_chunk_scales_with_row_length():
     EOT-truncated rows admit proportionally more instances per chunk."""
     from mudpt_tpu.trainers.cocoop import _resolve_chunk
 
-    assert _resolve_chunk(0, 8, 1000, 80) == 2   # full rows: cap 3 -> divisor 2
+    assert _resolve_chunk(0, 8, 1000, 80) == 4   # full rows: cap 6 -> divisor 4
     assert _resolve_chunk(0, 8, 1000, 24) == 8   # truncated: unchunked
-    assert _resolve_chunk(0, 32, 1000, 24) == 8  # cap 10 -> divisor 8 (no pad)
+    assert _resolve_chunk(0, 32, 1000, 16) == 32  # 512k row-tokens: unchunked
+    assert _resolve_chunk(0, 40, 1000, 16) == 20  # 640k: the measured OOM -> chunk
+    assert _resolve_chunk(0, 32, 1000, 24) == 16  # cap 21 -> divisor 16
     assert _resolve_chunk(0, 2, 1000, 24) == 2   # capped at batch
     assert _resolve_chunk(-1, 8, 1000, 24) == 8  # never chunk
     assert _resolve_chunk(4, 8, 1000, 24) == 4   # explicit forces
     # mesh-sharded rows: the per-device budget scales by the shard count
     assert _resolve_chunk(0, 8, 1000, 80, n_shards=8) == 8    # unchunked
-    assert _resolve_chunk(0, 64, 1000, 80, n_shards=8) == 16  # cap 26 -> divisor
-    assert _resolve_chunk(0, 8, 1000, 80, n_shards=1) == 2    # single chip as before
+    assert _resolve_chunk(0, 64, 1000, 80, n_shards=8) == 32  # cap 52 -> divisor
+    assert _resolve_chunk(0, 8, 1000, 80, n_shards=1) == 4    # single chip as above
 
 
 def test_cocoop_unchunked_saves_off_branch_matches(monkeypatch):
