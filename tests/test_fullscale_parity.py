@@ -10,6 +10,8 @@ realistic magnitudes.  This is the closest environment-feasible stand-in
 for real-pretrained-weights validation (no network in this environment).
 """
 
+pytestmark = __import__('pytest').mark.slow  # measured multi-minute module
+
 import numpy as np
 import pytest
 

@@ -2,6 +2,10 @@
 entry()'s example-args consistency (the single-chip compile check itself is
 the driver's job — compiling ViT-B/16 on CPU here would be slow)."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # measured multi-minute module (round-4 durations)
+
 
 def test_dryrun_multichip_8():
     """The full registered zoo + the int8_ste_static build on the 4x2 mesh

@@ -3,6 +3,8 @@ the 8-device virtual CPU mesh — per VERDICT r1 weak #7:
 ``host_local_batch_to_global`` is testable today with process_count=1, and
 ``maybe_initialize_distributed``'s env parsing is unit-testable."""
 
+pytestmark = __import__('pytest').mark.slow  # measured multi-minute module
+
 import numpy as np
 import pytest
 

@@ -3,6 +3,10 @@ dry-run drives every stage — zero-shot, few-shot train, base->new transfer
 reload, domain-gen eval, aggregation — and reruns resume by skipping
 completed units (VERDICT r3 item 7)."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # measured multi-minute module (round-4 durations)
+
 import json
 import os
 

@@ -172,6 +172,7 @@ def test_q8_ste_recompute_matches_save_strategy():
     np.testing.assert_array_equal(np.asarray(g_rc), np.asarray(g_save))
 
 
+@pytest.mark.slow  # >30s measured (round-4 durations)
 def test_q8_ste_trains_end_to_end(tmp_path):
     """A tiny MuDPT trainer under quant mode 'int8_ste': the jitted train
     step runs, loss drops over a few steps, and the trained prompts serve
@@ -273,6 +274,7 @@ def test_q8_under_vmap_matches_unvmapped():
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.slow  # >30s measured (round-4 durations)
 def test_q8_sharded_forward_matches_single_device(monkeypatch, tmp_path):
     """Multi-chip int8 serving: the MuDPT eval forward with quant mode on
     the 4x2 mesh (towers per-shard via shard_map) must match the 1-device
@@ -646,6 +648,7 @@ def test_trainer_int8_static_calibrates_and_serves(tmp_path):
         L.set_quant_mode(prev_q)
 
 
+@pytest.mark.slow  # >30s measured (round-4 durations)
 def test_q8_static_sharded_forward_matches_single_device(monkeypatch, tmp_path):
     """Multi-chip static int8: the calibrated (L, 4) scale leaves ride the
     shard_map towers as replicated operands — the 4x2-mesh forward must
@@ -746,6 +749,7 @@ def test_q8_ste_static_grad_and_recompute():
     assert np.abs(np.asarray(g_save)).min(axis=-1).max() > 0
 
 
+@pytest.mark.slow  # >30s measured (round-4 durations)
 def test_trainer_int8_ste_static_trains_and_serves(tmp_path):
     """TRAIN.QUANT 'int8_ste_static': the build calibrates, the jitted
     train step runs and reduces loss, and the trained prompts under the

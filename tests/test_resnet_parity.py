@@ -41,6 +41,7 @@ def test_resnet_forward_parity():
     np.testing.assert_allclose(np.asarray(ours), ref_out, rtol=3e-4, atol=3e-4)
 
 
+@pytest.mark.slow  # >30s measured (round-4 durations)
 def test_rn_random_init_and_cast():
     """PATH='random' RN presets: init_clip_params builds the converter's
     layout, encode_image runs, and cast_matmul_weights applies the RN cast

@@ -1,6 +1,10 @@
 """Sweep-script smoke test: run the actual bash scripts (tiny config,
 synthetic dataset, 1 shot x 1 seed) through train.py end to end."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # measured multi-minute module (round-4 durations)
+
 import json
 import os
 import subprocess

@@ -6,6 +6,8 @@ pin (a) the motivating failure mode and its fix on a toy kernel, and (b)
 numerical equivalence of the REAL sharded MuDPT step with the pallas
 (interpret) blocks active on the 4x2 device mesh."""
 
+import pytest
+
 import functools
 
 import numpy as np
@@ -124,6 +126,7 @@ def test_shard_rows_2d_runs_per_block(monkeypatch):
     )
 
 
+@pytest.mark.slow  # >30s measured (round-4 durations)
 def test_sharded_pallas_cocoop_matches_single_device(monkeypatch, tmp_path):
     """CoCoOp's instance-conditioned text tower on the 4x2 mesh with the
     pallas (interpret) blocks: the 4-D text_forward path shards instances
@@ -182,6 +185,7 @@ def test_sharded_pallas_cocoop_matches_single_device(monkeypatch, tmp_path):
         )
 
 
+@pytest.mark.slow  # >30s measured (round-4 durations)
 def test_sharded_pallas_step_matches_single_device(monkeypatch, tmp_path):
     """The REAL MuDPT step with the pallas (interpret) blocks on the 4x2
     mesh — towers under shard_map — must match the 1-device pallas run:

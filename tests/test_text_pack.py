@@ -87,6 +87,7 @@ def test_packed_matches_unpacked_grad(setup, impl):
 
 
 @pytest.mark.parametrize("impl", ["xla", "pallas"])
+@pytest.mark.slow  # >30s measured (round-4 durations)
 def test_packed_under_vmap_matches_unpacked(setup, impl):
     """CoCoOp encodes text inside ``jax.vmap`` over per-instance contexts
     (trainers/cocoop.py per_instance); the auto-pack trigger fires inside
