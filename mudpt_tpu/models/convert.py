@@ -17,7 +17,6 @@ checkpoints can be cached as .npz so production runs never touch torch.
 
 from __future__ import annotations
 
-import io
 import os
 from typing import Dict, Tuple
 

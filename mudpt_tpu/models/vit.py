@@ -22,7 +22,7 @@ form lets XLA tile it directly onto the systolic array.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

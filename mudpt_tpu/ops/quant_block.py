@@ -37,7 +37,6 @@ serving numbers (docs/BENCHMARKS.md).
 from __future__ import annotations
 
 import functools
-import os
 
 import jax
 import jax.numpy as jnp

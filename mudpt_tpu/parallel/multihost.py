@@ -11,7 +11,6 @@ anywhere; XLA emits them from shardings).
 from __future__ import annotations
 
 import os
-from typing import Optional
 
 import jax
 import numpy as np

@@ -14,7 +14,6 @@ match torch's per-epoch ``scheduler.step()`` exactly.
 
 from __future__ import annotations
 
-import math
 from typing import Tuple
 
 import optax

@@ -9,7 +9,6 @@ here for real.
 
 from __future__ import annotations
 
-from collections import defaultdict
 from typing import Dict, List, Optional
 
 import numpy as np

@@ -8,7 +8,7 @@ KeyErrors and supports case-insensitive lookup.
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Iterable, TypeVar
+from typing import Dict, Iterable, TypeVar
 
 T = TypeVar("T")
 

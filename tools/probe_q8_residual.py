@@ -51,7 +51,6 @@ sys.path.insert(0, ".")
 def main() -> None:
     import jax
     import jax.numpy as jnp
-    import numpy as np
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
