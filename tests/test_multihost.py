@@ -3,8 +3,6 @@ the 8-device virtual CPU mesh — per VERDICT r1 weak #7:
 ``host_local_batch_to_global`` is testable today with process_count=1, and
 ``maybe_initialize_distributed``'s env parsing is unit-testable."""
 
-pytestmark = __import__('pytest').mark.slow  # measured multi-minute module
-
 import numpy as np
 import pytest
 
@@ -93,6 +91,7 @@ def test_primary_and_index():
     assert is_primary() is True
 
 
+@pytest.mark.slow  # 2-process pod run, >60s measured
 def test_two_process_train_step_matches_single_process(tmp_path):
     """END-TO-END pod test: two subprocesses (4 virtual CPU devices each)
     form one 8-device mesh via jax.distributed, run two real MuDPT train
@@ -179,6 +178,7 @@ def test_two_process_train_step_matches_single_process(tmp_path):
     assert csums[0] == csums[1], csums
 
 
+@pytest.mark.slow  # 2-process pod run, >60s measured
 def test_two_process_host_sharded_input(tmp_path):
     """DATALOADER.HOST_SHARD: hosts decode disjoint item shards and feed
     per-host batch slices; the pod must train in lockstep with finite,
