@@ -566,10 +566,12 @@ def _run(args) -> None:
             from mudpt_tpu.models import text as _TX
 
             # row-tokens decide the wide-MLP (ViT-L) h-save auto policy —
-            # pass them so the executed-FLOPs accounting tracks the same
-            # gate the kernels take (ops/fused_block.wide_mlp_save)
+            # pass the SAME units the kernels gate on (B x the raw tower
+            # sequence; _mlp_fwd sees x.shape as-is, no padding) so the
+            # executed-FLOPs accounting takes the same branch at the
+            # boundary batches
             vis_frac = _FB.saved_fraction_for_width(
-                clip_cfg.vision_width, args.batch * (-(-vis_seq // 8) * 8)
+                clip_cfg.vision_width, args.batch * vis_seq
             )
             txt_frac = (
                 _FB.SAVED_FWD_FRACTION_RECOMPUTE

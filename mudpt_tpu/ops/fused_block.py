@@ -58,7 +58,11 @@ _COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
 # score matmul (~0.5) and MLP fc (4) but NEVER the pv/out-proj/MLP-proj
 # matmuls (~5.5 of 13) => 0.42 saved even then.
 SAVED_FWD_FRACTION_RECOMPUTE = 0.42
-_SAVE_ACTS = os.environ.get("MUDPT_TPU_SAVE_ACTS", "1") != "0"
+# one boolean-env parser, shared semantics with config/perf._as_bool — the
+# import-time init and the config applier must agree on what "false" means
+_SAVE_ACTS = os.environ.get("MUDPT_TPU_SAVE_ACTS", "1").lower() not in (
+    "0", "false", "no", ""
+)
 SAVED_FWD_FRACTION = 0.96 if _SAVE_ACTS else SAVED_FWD_FRACTION_RECOMPUTE
 
 

@@ -85,9 +85,11 @@ def build_mesh(cfg=None, devices=None) -> MeshContext:
     return MeshContext(Mesh(arr, ("data", "model")))
 
 
-def shard_rows(ctx: Optional[MeshContext], axis_name: str, fn, x, *replicated):
-    """Run ``fn(x, *replicated)`` with x's leading axis sharded over
-    ``axis_name`` via ``shard_map``.
+def _shard_rows_nd(ctx: Optional[MeshContext], axis_names, fn, x, *replicated):
+    """Run ``fn(x, *replicated)`` with x's N leading axes sharded over
+    ``axis_names`` via ``shard_map`` — the ONE implementation behind
+    :func:`shard_rows` (N=1) and :func:`shard_rows_2d` (N=2), so the
+    fallback ladder and the shard_map plumbing cannot diverge.
 
     Pallas custom calls are not SPMD-partitionable: under plain ``jit`` the
     partitioner ALL-GATHERS their operands onto every device and
@@ -95,20 +97,22 @@ def shard_rows(ctx: Optional[MeshContext], axis_name: str, fn, x, *replicated):
     to 4 all-gathers on an 8-device mesh — tests/test_shard_rows.py pins
     both directions), so the fused-block towers would stop scaling past
     one chip.  ``shard_map`` runs the tower body once per shard: the row
-    axis (image batch / class rows) is embarrassingly parallel, and the
-    replicated operands (frozen block params, deep prompts, masks) ride in
-    as ``P()`` — shard_map's transpose inserts the psum of their
-    cotangents, which is exactly the cross-shard prompt-gradient reduction
-    data parallelism needs.
+    axes (image batch / class rows / instance x class blocks) are
+    embarrassingly parallel, and the replicated operands (frozen block
+    params, deep prompts, masks) ride in as ``P()`` — shard_map's
+    transpose inserts the psum of their cotangents, which is exactly the
+    cross-shard prompt-gradient reduction data parallelism needs.
 
     Falls back to a plain call whenever the wrap is pointless or invalid:
-    no mesh, the axis spans one device, the rows don't divide the axis, or
-    the XLA block impl is active (XLA partitions its own HLO natively).
-    """
+    no mesh, the axes span one device, the block doesn't divide, or the
+    XLA block impl is active (XLA partitions its own HLO natively)."""
     if ctx is None:
         return fn(x, *replicated)
-    size = ctx.mesh.shape.get(axis_name, 1)
-    if size <= 1 or x.shape[0] % size != 0:
+    sizes = [ctx.mesh.shape.get(a, 1) for a in axis_names]
+    total = 1
+    for s in sizes:
+        total *= s
+    if total <= 1 or any(x.shape[i] % s for i, s in enumerate(sizes)):
         return fn(x, *replicated)
     from mudpt_tpu.models.layers import resolve_block_impl
 
@@ -116,50 +120,29 @@ def shard_rows(ctx: Optional[MeshContext], axis_name: str, fn, x, *replicated):
         return fn(x, *replicated)
     from jax import shard_map
 
-    in_specs = (P(axis_name),) + tuple(P() for _ in replicated)
+    spec = P(*axis_names)
+    in_specs = (spec,) + tuple(P() for _ in replicated)
     return shard_map(
         fn,
         mesh=ctx.mesh,
         in_specs=in_specs,
-        out_specs=P(axis_name),
+        out_specs=spec,
         check_vma=False,
     )(x, *replicated)
+
+
+def shard_rows(ctx: Optional[MeshContext], axis_name: str, fn, x, *replicated):
+    """x's leading axis sharded over ``axis_name`` (see _shard_rows_nd)."""
+    return _shard_rows_nd(ctx, (axis_name,), fn, x, *replicated)
 
 
 def shard_rows_2d(ctx: Optional[MeshContext], axis_names, fn, x, *replicated):
-    """Two-axis variant of :func:`shard_rows`: ``x``'s leading TWO axes are
-    sharded over ``axis_names = (a0, a1)`` — the CoCoOp layout, where the
-    per-instance class rows form an (instances, classes, seq, D) array with
-    instances on ``data`` and classes on ``model``.  Each shard holds its
-    local (B/n_data, n_cls/n_model) block and ``fn`` runs once per shard —
-    the whole device grid works on the O(B·n_cls) text encode with no
-    resharding (the operands already arrive 2-D-block-sharded from the
-    image tower and the class-sharded aux bank).
-
-    Same fallback rules as :func:`shard_rows`: plain call when there is no
-    mesh, the axes are trivial, the block doesn't divide, or the XLA block
-    impl is active (XLA partitions its own HLO natively)."""
-    if ctx is None:
-        return fn(x, *replicated)
-    a0, a1 = axis_names
-    s0 = ctx.mesh.shape.get(a0, 1)
-    s1 = ctx.mesh.shape.get(a1, 1)
-    if s0 * s1 <= 1 or x.shape[0] % s0 or x.shape[1] % s1:
-        return fn(x, *replicated)
-    from mudpt_tpu.models.layers import resolve_block_impl
-
-    if resolve_block_impl() != "pallas":
-        return fn(x, *replicated)
-    from jax import shard_map
-
-    in_specs = (P(a0, a1),) + tuple(P() for _ in replicated)
-    return shard_map(
-        fn,
-        mesh=ctx.mesh,
-        in_specs=in_specs,
-        out_specs=P(a0, a1),
-        check_vma=False,
-    )(x, *replicated)
+    """x's leading TWO axes sharded over ``axis_names = (a0, a1)`` — the
+    CoCoOp layout: (instances, classes, seq, D) with instances on ``data``
+    and classes on ``model``; each shard holds its local block and the
+    whole device grid works the O(B·n_cls) text encode with no resharding
+    (see _shard_rows_nd)."""
+    return _shard_rows_nd(ctx, tuple(axis_names), fn, x, *replicated)
 
 
 def shard_batch(ctx: MeshContext, batch: dict, host_local: bool = False) -> dict:

@@ -33,7 +33,7 @@ from mudpt_tpu.utils.rng import new_rng
 
 
 def _resolve_chunk(chunk: int, batch: int, n_cls: int, padded_seq: int = 80,
-                   n_shards: int = 1) -> int:
+                   n_shards: int = 1, shard_quantum: int = 1) -> int:
     """Micro-batch size for the per-instance text encode.
 
     0 = auto: cap one micro-batch's live set by ROW-TOKENS (n_cls × chunk ×
@@ -50,20 +50,34 @@ def _resolve_chunk(chunk: int, batch: int, n_cls: int, padded_seq: int = 80,
     ``n_shards``: the budget bounds the PER-DEVICE live set — on a mesh
     where the (instances, classes) rows shard over n devices (the 4-D
     text path), each device holds 1/n of the rows, so the global budget
-    scales by the shard count and chunking engages n times later.
+    scales by the shard count and chunking engages n times later.  The
+    scaled budget is only valid while the rows actually shard: a CHUNKED
+    call shards its instance axis only when the chunk size divides the
+    mesh's data axis (``shard_quantum``), so chunk candidates must be
+    multiples of it — and when no such divisor of the batch exists, the
+    budget falls back to the single-device bound (an unsharded chunk must
+    fit one chip, or the round-3 all-gather/OOM class returns).
     -1 = never chunk."""
     if chunk == -1:
         return batch
     if chunk == 0:
-        budget_row_tokens = 6553 * 80 * max(1, n_shards)
-        cap = max(1, budget_row_tokens // max(1, n_cls * padded_seq))
+        base_budget = 6553 * 80
+        row_tokens = max(1, n_cls * padded_seq)
+        cap = max(1, base_budget * max(1, n_shards) // row_tokens)
         if cap >= batch:
-            return batch
+            return batch  # unchunked: cocoop_forward verified sharding holds
         # prefer a batch divisor: a non-dividing chunk pads the final
         # micro-batch with duplicate instances, wasting a whole chunk of
         # encode work (measured +14% at n_cls=1000, B=8, chunk 3 vs 2 —
         # docs/BENCHMARKS.md)
+        quantum = max(1, shard_quantum)
         for d in range(cap, 0, -1):
+            if batch % d == 0 and d % quantum == 0:
+                return d
+        # no shardable chunk: the per-chunk rows live on ONE device, so
+        # only the unscaled budget applies
+        cap1 = max(1, base_budget // row_tokens)
+        for d in range(min(cap1, batch), 0, -1):
             if batch % d == 0:
                 return d
         return 1
@@ -120,13 +134,15 @@ def cocoop_forward(trainable, frozen, aux, images, *, clip_cfg, compute_dtype,
     # rows shard over the whole mesh when the (B, n_cls) block divides it
     # (shard_rows_2d / XLA propagation) — the auto-chunk HBM budget is
     # per-device, so it scales with the shard count
-    n_shards = 1
+    n_shards, shard_quantum = 1, 1
     if mesh_ctx is not None:
         nd = mesh_ctx.mesh.shape.get("data", 1)
         nm = mesh_ctx.mesh.shape.get("model", 1)
         if B % nd == 0 and n_cls % nm == 0:
-            n_shards = nd * nm
-    chunk = _resolve_chunk(encode_chunk, B, n_cls, padded_seq, n_shards)
+            n_shards, shard_quantum = nd * nm, nd
+    chunk = _resolve_chunk(
+        encode_chunk, B, n_cls, padded_seq, n_shards, shard_quantum
+    )
     if chunk >= B:
         return encode_instances(ctx_shifted, img)  # (B, n_cls)
 

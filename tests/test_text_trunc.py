@@ -130,8 +130,14 @@ def test_cocoop_auto_chunk_scales_with_row_length():
     assert _resolve_chunk(4, 8, 1000, 24) == 4   # explicit forces
     # mesh-sharded rows: the per-device budget scales by the shard count
     assert _resolve_chunk(0, 8, 1000, 80, n_shards=8) == 8    # unchunked
-    assert _resolve_chunk(0, 64, 1000, 80, n_shards=8) == 32  # cap 52 -> divisor
+    assert _resolve_chunk(0, 64, 1000, 80, n_shards=8, shard_quantum=4) == 32
     assert _resolve_chunk(0, 8, 1000, 80, n_shards=1) == 4    # single chip as above
+    # the scaled budget only holds while chunks still shard: candidates
+    # must be multiples of the data axis (review finding r4) ...
+    assert _resolve_chunk(0, 100, 1000, 80, n_shards=8, shard_quantum=4) == 20
+    # ... and with no shardable divisor, fall back to the SINGLE-DEVICE
+    # budget (an unsharded chunk must fit one chip)
+    assert _resolve_chunk(0, 32, 4000, 80, n_shards=8, shard_quantum=16) == 1
 
 
 def test_cocoop_unchunked_saves_off_branch_matches(monkeypatch):

@@ -81,7 +81,7 @@ def parse_args(argv=None):
                     "config configs/trainers/MuDPT/vit_b16_bz4_ep10_"
                     "nctx2_depth9.yaml)")
     ap.add_argument("--datasets", nargs="+", default=None)
-    ap.add_argument("--seeds", type=int, nargs="+", default=[1, 2, 3])
+    ap.add_argument("--seeds", type=int, nargs="+", default=None)
     ap.add_argument("--shots", type=int, default=16)
     ap.add_argument("--stages", nargs="+", choices=STAGES, default=list(STAGES))
     ap.add_argument("--tolerance", type=float, default=1.0,
@@ -94,12 +94,13 @@ def parse_args(argv=None):
     args = ap.parse_args(argv)
     if args.synthetic:
         args.datasets = args.datasets or ["synthetic"]
-        args.seeds = args.seeds if args.seeds != [1, 2, 3] else [1]
+        args.seeds = args.seeds or [1]
         args.backbone = "test-tiny"
         args.backbone_path = "random"
         args.shots = min(args.shots, 2)
     else:
         args.datasets = args.datasets or DATASETS
+        args.seeds = args.seeds or [1, 2, 3]
     return args
 
 
@@ -213,6 +214,10 @@ def stage_fewshot(args, results):
 
             def run(dataset=dataset, seed=seed, unit=unit):
                 cfg = _build_cfg(args, dataset, seed, output_dir=unit)
+                # train() would otherwise end with after_train()'s own full
+                # test pass — the explicit evaluate() below is the one this
+                # unit records, so skip the duplicate
+                cfg.TEST.NO_TEST = True
                 tr = build_trainer(cfg)
                 tr.train()
                 res = tr.evaluate(tr.dm.test_loader)
@@ -236,6 +241,7 @@ def stage_base2new(args, results):
             def run_base(dataset=dataset, seed=seed, unit=train_unit):
                 cfg = _build_cfg(args, dataset, seed, subsample="base",
                                  output_dir=unit)
+                cfg.TEST.NO_TEST = True  # the explicit evaluate() is the record
                 tr = build_trainer(cfg)
                 tr.train()
                 res = tr.evaluate(tr.dm.test_loader)
@@ -280,6 +286,7 @@ def stage_domain_gen(args, results):
 
         def run_src(seed=seed, unit=train_unit):
             cfg = _build_cfg(args, source, seed, output_dir=unit)
+            cfg.TEST.NO_TEST = True  # the explicit evaluate() is the record
             tr = build_trainer(cfg)
             tr.train()
             res = tr.evaluate(tr.dm.test_loader)
