@@ -1,0 +1,149 @@
+#!/usr/bin/env python
+"""Zoo-wide train-step throughput: one JSON line per registered method.
+
+The headline bench (bench.py) covers MuDPT and tools/bench_cocoop.py the
+divergent CoCoOp forward; this tool times EVERY prompt-tuning method's
+jitted train step under the production configuration (bf16 backbone,
+fused Pallas towers, Synthetic in-memory data, one device-resident batch
+per step) so per-method throughput is measured rather than inferred:
+
+  python tools/bench_zoo.py                      # TPU, all methods
+  python tools/bench_zoo.py --trainers CoOp VPT  # subset
+  JAX_PLATFORMS=cpu python tools/bench_zoo.py --model test-tiny \
+      --batch 8 --n-cls 4 --size 32 --steps 2    # CPU smoke
+
+Differences between methods are real workload differences: VPT/MPT train
+against the build-time static text cache (vision tower only per step);
+CoOp/MuDPT/UMuDPT/UUMuDPT re-encode the n_cls class prompts every step;
+CoCoOp encodes n_cls rows PER INSTANCE (use bench_cocoop.py for its
+ImageNet-scale regimes).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+ZOO = (
+    ("CoOp", {}),
+    ("CoCoOp", {}),
+    ("VPT", dict(VISUAL_PROMPT_DEPTH=9, DEEP_VISUAL_N_CTX=2)),
+    (
+        "MPT",
+        dict(
+            VISUAL_PROMPT_DEPTH=9,
+            DEEP_VISUAL_N_CTX=2,
+            TEXT_PROMPT_DEPTH=9,
+            DEEP_TEXT_N_CTX=2,
+        ),
+    ),
+    ("MuDPT", {}),
+    ("UMuDPT", {}),
+    ("UUMuDPT", {}),
+)
+
+
+def bench_one(name: str, extra: dict, args) -> dict:
+    import jax
+
+    from mudpt_tpu.config import default_config
+    from mudpt_tpu.parallel.mesh import shard_batch
+    from mudpt_tpu.trainers import build_trainer
+
+    cfg = default_config()
+    cfg.TRAINER.NAME = name
+    cfg.MODEL.BACKBONE.NAME = args.model
+    cfg.MODEL.BACKBONE.PATH = "random"
+    cfg.DATASET.NAME = "Synthetic"
+    cfg.DATASET.SYNTHETIC_NUM_CLASSES = args.n_cls
+    cfg.DATASET.SYNTHETIC_PER_CLASS = max(
+        1, -(-(args.batch * 2) // args.n_cls)
+    )
+    cfg.INPUT.SIZE = (args.size, args.size)
+    cfg.DATALOADER.TRAIN_X.BATCH_SIZE = args.batch
+    cfg.DATALOADER.TEST.BATCH_SIZE = args.batch
+    cfg.DATALOADER.NUM_WORKERS = 4
+    cfg.OUTPUT_DIR = ""
+    hp = cfg.trainer_params(name)
+    if hp is not None:
+        from mudpt_tpu.trainers.base import _NAMED_CONFIGS
+
+        bb = _NAMED_CONFIGS.get(args.model)
+        for k, v in extra.items():
+            if bb is not None and k == "VISUAL_PROMPT_DEPTH":
+                v = min(v, bb.vision_layers)
+            if bb is not None and k == "TEXT_PROMPT_DEPTH":
+                v = min(v, bb.transformer_layers)
+            setattr(hp, k, v)
+        if hasattr(hp, "N_CTX") and name in ("CoOp", "CoCoOp"):
+            hp.N_CTX = args.n_ctx
+    tr = build_trainer(cfg)
+
+    batch = next(iter(tr.dm.train_loader))
+    sb = shard_batch(tr.mesh, batch)
+
+    def step():
+        tr.trainable, tr.opt_state, loss, _ = tr._train_step(
+            tr.trainable, tr.opt_state, tr.frozen, tr.aux, sb
+        )
+        return float(loss)  # host fetch: block_until_ready can return early
+
+    t_compile = time.perf_counter()
+    loss = step()
+    compile_s = time.perf_counter() - t_compile
+    for _ in range(max(0, args.warmup - 1)):
+        loss = step()
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        loss = step()
+    dt = time.perf_counter() - t0
+    ips = args.batch * args.steps / dt
+    return {
+        "trainer": name,
+        "img_per_sec": round(ips, 1),
+        "ms_per_step": round(dt / args.steps * 1e3, 1),
+        "static_text_cache": bool(getattr(tr, "static_text", False)),
+        "first_step_s": round(compile_s, 1),
+        "final_loss": round(loss, 4),
+    }
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--model", default="ViT-B/16")
+    ap.add_argument("--batch", type=int, default=384)
+    ap.add_argument("--n-cls", type=int, default=100)
+    ap.add_argument("--n-ctx", type=int, default=2)
+    ap.add_argument("--size", type=int, default=224)
+    ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--warmup", type=int, default=3)
+    ap.add_argument("--trainers", nargs="+", default=None)
+    args = ap.parse_args()
+
+    rows = []
+    for name, extra in ZOO:
+        if args.trainers and name not in args.trainers:
+            continue
+        try:
+            row = bench_one(name, extra, args)
+        except Exception as e:  # report and continue — one OOM must not
+            row = {"trainer": name, "error": f"{type(e).__name__}: {e}"[:200]}
+        print(json.dumps({
+            "metric": f"{name} {args.model} train throughput "
+                      f"(batch {args.batch}, n_cls {args.n_cls})",
+            **row,
+        }), flush=True)
+        rows.append(row)
+    return 0 if all("error" not in r for r in rows) else 1
+
+
+if __name__ == "__main__":
+    from mudpt_tpu.utils.platform import pin_platform_from_env
+
+    pin_platform_from_env()
+    sys.exit(main())
