@@ -82,6 +82,10 @@ def bench_one(name: str, extra: dict, args) -> dict:
             setattr(hp, k, v)
         if hasattr(hp, "N_CTX") and name in ("CoOp", "CoCoOp"):
             hp.N_CTX = args.n_ctx
+    if getattr(args, "opts", None):
+        from mudpt_tpu.config import merge_from_list
+
+        merge_from_list(cfg, args.opts)
     tr = build_trainer(cfg)
 
     batch = next(iter(tr.dm.train_loader))
@@ -123,7 +127,13 @@ def main() -> int:
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--trainers", nargs="+", default=None)
-    args = ap.parse_args()
+    # trailing KEY VALUE config overrides (train.py semantics) — applied to
+    # every benched method, e.g.: TRAINER.MUDPT.CTX_INIT "" TRAINER.MUDPT.N_CTX 2
+    args, opts = ap.parse_known_args()
+    bad = [o for o in opts if o.startswith("-")]
+    if bad:
+        ap.error(f"unknown flags {bad}; config overrides are KEY VALUE pairs")
+    args.opts = opts
 
     rows = []
     for name, extra in ZOO:
