@@ -89,22 +89,30 @@ def bench_one(name: str, extra: dict, args) -> dict:
     tr = build_trainer(cfg)
 
     batch = next(iter(tr.dm.train_loader))
-    sb = shard_batch(tr.mesh, batch)
+    # exactly what run_epoch feeds the step: host-side bf16 image cast
+    # (halves H2D + device reads) before sharding
+    sb = shard_batch(tr.mesh, tr._cast_images(batch))
 
     def step():
         tr.trainable, tr.opt_state, loss, _ = tr._train_step(
             tr.trainable, tr.opt_state, tr.frozen, tr.aux, sb
         )
-        return float(loss)  # host fetch: block_until_ready can return early
+        return loss
 
     t_compile = time.perf_counter()
-    loss = step()
+    loss = float(step())  # host fetch bounds the compile
     compile_s = time.perf_counter() - t_compile
     for _ in range(max(0, args.warmup - 1)):
-        loss = step()
+        loss = float(step())
+    # queue all timed steps, fetch ONCE: per-device execution is in-order,
+    # so the last loss bounds every queued step (bench.py's convention) —
+    # a per-step fetch would add the tunnel's ~26 ms host round-trip to
+    # every step, which production training does not pay (run_epoch
+    # fetches only every PRINT_FREQ batches)
     t0 = time.perf_counter()
     for _ in range(args.steps):
-        loss = step()
+        loss_dev = step()
+    loss = float(loss_dev)
     dt = time.perf_counter() - t0
     ips = args.batch * args.steps / dt
     return {
