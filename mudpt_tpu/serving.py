@@ -359,10 +359,21 @@ def export_trainer(path: str, trainer, *, batch: Optional[int] = None,
     try:
         export_classifier(path, cast_score, ops, **kwargs)
     except KeyError:
-        # a trainer whose image path DOES read the text tower (none today)
-        if ops.get("frozen") is trainer.frozen:
-            raise
-        ops["frozen"] = trainer.frozen
+        # a trainer whose image path DOES read the text tower (none today):
+        # restore ONLY the text tower — re-exporting with the raw
+        # trainer.frozen would discard freshly calibrated scales (static
+        # path) or re-ship the q8_scales leaves _strip_scales removed
+        frozen = ops.get("frozen")
+        if (
+            not isinstance(frozen, dict)
+            or "text" in frozen
+            or "text" not in trainer.frozen
+        ):
+            raise  # the text tower is not what was missing
+        text = trainer.frozen["text"]
+        if block_impl != "pallas_int8_static":
+            text = _strip_scales(text)
+        ops["frozen"] = dict(frozen, text=text)
         export_classifier(path, cast_score, ops, **kwargs)
 
 
@@ -392,11 +403,22 @@ def export_zero_shot(
     from mudpt_tpu.trainers.zsclip import _encode_templates, _zs_inference
 
     compute_dtype = compute_dtype or jnp.float32
-    txt = np.asarray(
-        _encode_templates(
-            params, clip_cfg, list(classnames), list(templates), jnp.float32
+    # same guard as export_trainer's text encode: the eager template encode
+    # must run unquantized whatever process-global quant mode a prior
+    # trainer build left behind (XLA impl would raise; pallas would bake
+    # quantized class features into the artifact)
+    from mudpt_tpu.models import layers as _layers
+
+    prev_quant = _layers.quant_mode()
+    _layers.set_quant_mode("none")
+    try:
+        txt = np.asarray(
+            _encode_templates(
+                params, clip_cfg, list(classnames), list(templates), jnp.float32
+            )
         )
-    )
+    finally:
+        _layers.set_quant_mode(prev_quant)
 
     def score(o, images):
         return _zs_inference(
@@ -466,13 +488,13 @@ class ServingClassifier:
             )
         with open(os.path.join(path, _PROGRAM), "rb") as f:
             exported = jexport.deserialize(bytearray(f.read()))
-        npz = np.load(os.path.join(path, _PARAMS))
         leaves = []
-        for i, dt in enumerate(meta["leaf_dtypes"]):
-            arr = npz[f"leaf_{i:05d}"]
-            if dt == "bfloat16":
-                arr = arr.view(ml_dtypes.bfloat16)
-            leaves.append(arr)
+        with np.load(os.path.join(path, _PARAMS)) as npz:
+            for i, dt in enumerate(meta["leaf_dtypes"]):
+                arr = npz[f"leaf_{i:05d}"]
+                if dt == "bfloat16":
+                    arr = arr.view(ml_dtypes.bfloat16)
+                leaves.append(arr)
         return cls(exported, tuple(leaves), meta)
 
     def predict(self, images) -> "np.ndarray":

@@ -278,7 +278,15 @@ class TrainerBase:
                 "features to calibrate on (this trainer re-encodes text "
                 "per instance); use TRAIN.QUANT 'int8' (dynamic scales)"
             )
-        batch = next(iter(self.dm.train_loader))
+        # the calibration fetch must not advance the loader's epoch state:
+        # every pipeline's __iter__ mutates _epoch, and exact mid-epoch
+        # resume (set_epoch + decode-and-drop fast-forward) assumes only
+        # run_epoch ever iterated — snapshot/restore around the fetch
+        loader = self.dm.train_loader
+        prev_epoch = getattr(loader, "_epoch", None)
+        batch = next(iter(loader))
+        if prev_epoch is not None:
+            loader._epoch = prev_epoch
         images = jnp.asarray(batch["image"], self.compute_dtype)
         frozen = dict(self.frozen)
         if inference is not None:  # ZeroshotCLIP*: text cached in aux
@@ -779,21 +787,9 @@ class TrainerBase:
 
     def after_train(self):
         if not self.cfg.TEST.NO_TEST:
-            from mudpt_tpu.parallel.multihost import broadcast_from_primary
-
-            has_best = bool(
-                int(
-                    broadcast_from_primary(
-                        np.int32(
-                            os.path.exists(
-                                os.path.join(
-                                    self.cfg.OUTPUT_DIR,
-                                    self.model_name,
-                                    "model-best.pth.tar",
-                                )
-                            )
-                        )
-                    )
+            has_best = self._exists_on_primary(
+                os.path.join(
+                    self.cfg.OUTPUT_DIR, self.model_name, "model-best.pth.tar"
                 )
             )
             if (
@@ -909,6 +905,14 @@ class TrainerBase:
             if os.path.exists(p):
                 os.remove(p)
 
+    def _exists_on_primary(self, path: str) -> bool:
+        """``os.path.exists`` as decided by the PRIMARY host, broadcast —
+        the single filesystem-decision idiom (per-host disks may disagree;
+        every host must take the same branch)."""
+        from mudpt_tpu.parallel.multihost import broadcast_from_primary
+
+        return bool(int(broadcast_from_primary(np.int32(os.path.exists(path)))))
+
     def _latest_epoch_on_primary(self, directory: str) -> int:
         """Highest saved epoch under <directory>/<model_name> as seen by the
         PRIMARY host (0 if none), broadcast to all hosts — the single owner
@@ -931,19 +935,8 @@ class TrainerBase:
     def _resolve_checkpoint_epoch(self, directory: str) -> Optional[int]:
         """None (= model-best.pth.tar) when a best checkpoint exists, else
         the highest saved epoch.  Primary's filesystem decides (pod-safe)."""
-        from mudpt_tpu.parallel.multihost import broadcast_from_primary
-
         sub = os.path.join(directory, self.model_name)
-        has_best = bool(
-            int(
-                broadcast_from_primary(
-                    np.int32(
-                        os.path.exists(os.path.join(sub, "model-best.pth.tar"))
-                    )
-                )
-            )
-        )
-        if has_best:
+        if self._exists_on_primary(os.path.join(sub, "model-best.pth.tar")):
             return None
         latest = self._latest_epoch_on_primary(directory)
         if latest == 0:
@@ -977,7 +970,10 @@ class TrainerBase:
                     directory, self.model_name, epoch, tag=tag
                 )
                 host_tree = restore_into(host_tree, loaded)
-                ckpt_epoch = int(meta.get("epoch") or -1)
+                # NOT `or -1`: a preemption checkpoint from epoch index 0
+                # must log as epoch 0, not as the missing-meta sentinel
+                e = meta.get("epoch")
+                ckpt_epoch = int(e) if e is not None else -1
             except Exception as e:  # noqa: BLE001 — re-raised on every host
                 load_error = f"{type(e).__name__}: {e}"
         err = np.frombuffer(

@@ -787,3 +787,32 @@ def test_trainer_int8_ste_static_trains_and_serves(tmp_path):
     finally:
         L._BLOCK_IMPL = prev_impl
         L.set_quant_mode(prev_q)
+
+
+def test_static_calibration_preserves_data_order(tmp_path):
+    """Round-4 review finding: the static-quant calibration fetch at build
+    must not advance the train loader's epoch state — exact (mid-epoch)
+    resume assumes only run_epoch ever iterated, so a quant trainer's
+    epoch-E data order must equal a plain trainer's."""
+    from tests.test_trainers import tiny_cfg
+    from mudpt_tpu.trainers.mudpt import MuDPT
+
+    prev_impl, prev_q = L._BLOCK_IMPL, L.quant_mode()
+    try:
+        L.set_block_impl("pallas")
+        cfg_q = tiny_cfg("MuDPT", tmp_path / "q")
+        cfg_q.TRAIN.QUANT = "int8_ste_static"
+        tr_q = MuDPT(cfg_q)
+
+        cfg_p = tiny_cfg("MuDPT", tmp_path / "p")
+        tr_p = MuDPT(cfg_p)
+
+        assert getattr(tr_q.dm.train_loader, "_epoch", 0) == getattr(
+            tr_p.dm.train_loader, "_epoch", 0
+        )
+        order_q = [b["label"].tolist() for b in tr_q.dm.train_loader]
+        order_p = [b["label"].tolist() for b in tr_p.dm.train_loader]
+        assert order_q == order_p, "calibration perturbed the epoch order"
+    finally:
+        L._BLOCK_IMPL = prev_impl
+        L.set_quant_mode(prev_q)
