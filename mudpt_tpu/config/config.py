@@ -249,6 +249,20 @@ class PerfCfg:
     TEXT_RECOMPUTE: str = "auto"  # auto | 0 (save) | 1 (recompute)
     LN: str = "fp32"              # fp32 (reference parity) | bf16 (experiment)
 
+    # "explicit config value" in the precedence chain means SET, not
+    # merely different-from-default: a YAML/CLI write of a knob at its
+    # default (e.g. ``PERF.BLOCK auto`` to recover from a leaked
+    # set_block_impl) must still reapply.  Post-init writes are recorded
+    # here; config/perf.py consults it.
+    def __post_init__(self):
+        object.__setattr__(self, "_touched", set())
+
+    def __setattr__(self, k, v):
+        object.__setattr__(self, k, v)
+        touched = getattr(self, "_touched", None)
+        if touched is not None and not k.startswith("_"):
+            touched.add(k)
+
 
 @_node
 class ParallelCfg:

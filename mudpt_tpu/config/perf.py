@@ -51,14 +51,18 @@ def apply_perf_config(perf) -> Dict[str, Any]:
         "TEXT_RECOMPUTE": lambda v: text.set_text_recompute(v),
         "LN": lambda v: layers.set_ln_dtype(str(v)),
     }
+    touched = getattr(perf, "_touched", frozenset())
     for f in dataclasses.fields(perf):
         env = os.environ.get(ENV_PREFIX + f.name)
         if env is not None:
             value = env
-        elif getattr(perf, f.name) != f.default:
+        elif f.name in touched or getattr(perf, f.name) != f.default:
+            # "explicitly set" includes a YAML/CLI write of the default
+            # value (PerfCfg._touched) — that must still reapply, e.g.
+            # ``PERF.BLOCK auto`` recovering from a leaked set_block_impl
             value = getattr(perf, f.name)
         else:
-            continue  # default: leave module state (programmatic setters win)
+            continue  # unset: leave module state (programmatic setters win)
         setters[f.name](value)
     return perf_snapshot()
 

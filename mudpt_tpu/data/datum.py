@@ -4,12 +4,16 @@ Re-provides the Dassl surface the reference depends on (``Datum``,
 ``DatasetBase``, few-shot sampling, class subsampling — consumed at e.g.
 reference datasets/oxford_pets.py:7,37-57,107-153) with identical semantics:
 
-  * few-shot sampling picks ``num_shots`` items per class (with replacement
-    when a class has fewer items); val is capped at min(shots, 4)
-    (oxford_pets.py:48-49);
+  * few-shot sampling picks ``num_shots`` items per class via
+    ``random.sample`` in label-first-appearance order — the exact RNG call
+    sequence of Dassl's ``generate_fewshot_dataset`` (default
+    ``repeat=False``: a class with fewer items keeps all of them, drawing
+    nothing from the stream) so a fresh split under the same seed selects
+    the same items; val is capped at min(shots, 4) (oxford_pets.py:48-49);
   * per-(shots, seed) pickle caches under ``split_fewshot/`` and a
-    whole-split ``preprocessed.pkl`` cache, byte-compatible with caches
-    produced by the reference so existing splits reproduce exactly;
+    whole-split ``preprocessed.pkl`` cache; reference-produced caches
+    pickle dassl-classed ``Datum`` objects, which ``read_split_cache``
+    loads WITHOUT dassl installed via a custom Unpickler;
   * ``subsample_classes``: sort labels, base = first ceil(n/2), new = rest,
     relabel from 0 (oxford_pets.py:107-153).
 """
@@ -34,10 +38,41 @@ class Datum:
     array: object = field(default=None, repr=False, compare=False)
 
 
+class _ForeignDatum:
+    """Stand-in for dataset-item classes pickled by other frameworks.
+    Dassl's ``Datum`` (the class inside reference-produced
+    ``preprocessed.pkl`` / ``split_fewshot/*.pkl`` caches — reference
+    datasets/oxford_pets.py:21-35) stores ``_impath``/``_label``/
+    ``_classname`` behind read-only properties; unpickling restores that
+    instance ``__dict__`` here and ``__getattr__`` re-exposes the
+    property names ``_revive`` reads."""
+
+    def __getattr__(self, name):
+        try:
+            return self.__dict__["_" + name]
+        except KeyError:
+            raise AttributeError(name) from None
+
+
+class _CacheUnpickler(pickle.Unpickler):
+    """``pickle.Unpickler`` that loads reference split caches on hosts
+    WITHOUT dassl importable: any ``Datum`` class whose module cannot be
+    resolved maps to :class:`_ForeignDatum` (then normalized by
+    ``_revive``).  Everything else resolves normally."""
+
+    def find_class(self, module, name):
+        try:
+            return super().find_class(module, name)
+        except (ModuleNotFoundError, ImportError, AttributeError):
+            if name == "Datum":
+                return _ForeignDatum
+            raise
+
+
 def read_split_cache(path: str):
     if os.path.exists(path):
         with open(path, "rb") as f:
-            return pickle.load(f)
+            return _CacheUnpickler(f).load()
     return None
 
 
@@ -48,9 +83,15 @@ def write_split_cache(path: str, obj) -> None:
 
 
 def generate_fewshot(
-    items: Sequence[Datum], num_shots: int, repeat: bool = True
+    items: Sequence[Datum], num_shots: int, repeat: bool = False
 ) -> List[Datum]:
-    """Sample ``num_shots`` items per class (Dassl semantics)."""
+    """Sample ``num_shots`` items per class — Dassl's
+    ``generate_fewshot_dataset`` semantics AND RNG call sequence (one
+    ``random.sample(group, num_shots)`` per label in first-appearance
+    order; ``repeat=False`` default returns small classes whole without
+    touching the stream), so a fresh split under ``set_seed(SEED)`` draws
+    the same impaths a Dassl run would (tests/test_data.py pins this
+    against an executable spec of the Dassl loop)."""
     if num_shots < 1:
         return list(items)
     tracker: Dict[int, List[Datum]] = defaultdict(list)

@@ -256,7 +256,8 @@ def cast_matmul_weights(params: dict, dtype) -> dict:
     def cast_sub(tree):
         return jax.tree_util.tree_map(lambda x: x.astype(dtype), tree)
 
-    if isinstance(out.get("visual"), dict) and "attnpool" in out["visual"]:
+    is_rn = isinstance(out.get("visual"), dict) and "attnpool" in out["visual"]
+    if is_rn:
         out["visual"] = _cast_rn_visual(out["visual"], dtype)
 
     for path in _CAST_PATHS:
@@ -267,6 +268,15 @@ def cast_matmul_weights(params: dict, dtype) -> dict:
                 break
         if isinstance(node, dict) and path[-1] in node:
             node[path[-1]] = cast_sub(node[path[-1]])
+        elif not (is_rn and path[0] == "visual"):
+            # An RN tree legitimately lacks the ViT visual paths (handled
+            # by _cast_rn_visual above); anything else unresolved would
+            # silently leave fp32 weights in the "bf16" tree — a quiet
+            # perf/numerics drift. Fail loudly instead.
+            raise KeyError(
+                f"cast_matmul_weights: expected path {'/'.join(path)} "
+                f"missing from the parameter tree"
+            )
     return out
 
 

@@ -93,8 +93,12 @@ _NAMED_CONFIGS = {
 
 def load_backbone(cfg):
     """CLIP backbone: from a local .pt checkpoint (MODEL.BACKBONE.PATH,
-    reference trainers/mudpt.py:20-38), an .npz converted cache, or random
-    init for the named architecture (PATH='random' — no-network runs)."""
+    reference trainers/mudpt.py:20-38), an .npz converted cache, the
+    ``~/.cache/clip`` download cache (downloading on miss like the
+    reference's ``clip.load`` — clip/clip.py:95-109), or random init for
+    the named architecture — but ONLY when PATH='random' is explicit.
+    A fresh host can therefore never silently train prompts on a
+    random-weight CLIP."""
     path = cfg.MODEL.BACKBONE.PATH
     name = cfg.MODEL.BACKBONE.NAME
     if path and path not in ("random",):
@@ -104,16 +108,39 @@ def load_backbone(cfg):
                 "no network access; provide a local OpenAI CLIP .pt/.npz file."
             )
         return load_clip_checkpoint(path)
+    if path == "random":
+        if name not in _NAMED_CONFIGS:
+            raise KeyError(
+                f"Unknown backbone {name!r}; known: {list(_NAMED_CONFIGS)}"
+            )
+        clip_cfg = _NAMED_CONFIGS[name]
+        params = init_clip_params(new_rng(0), clip_cfg)
+        return clip_cfg, params
+    # PATH unset: pretrained weights are REQUIRED — cache hit, else download.
     cache = os.path.expanduser(
         os.path.join("~/.cache/clip", name.replace("/", "-") + ".pt")
     )
-    if path != "random" and os.path.exists(cache):
+    if os.path.exists(cache):
         return load_clip_checkpoint(cache)
-    if name not in _NAMED_CONFIGS:
-        raise KeyError(f"Unknown backbone {name!r}; known: {list(_NAMED_CONFIGS)}")
-    clip_cfg = _NAMED_CONFIGS[name]
-    params = init_clip_params(new_rng(0), clip_cfg)
-    return clip_cfg, params
+    from mudpt_tpu.models.download import _MODELS, download_model
+
+    if name in _MODELS:
+        try:
+            return load_clip_checkpoint(download_model(name))
+        except Exception as e:  # URLError, socket timeout, checksum, ...
+            raise RuntimeError(
+                f"Pretrained CLIP {name!r} is not cached at {cache} and the "
+                f"download failed ({type(e).__name__}: {e}). Place the OpenAI "
+                f".pt file at that path (or set MODEL.BACKBONE.PATH to a local "
+                f".pt/.npz), or opt into random weights explicitly with "
+                f"MODEL.BACKBONE.PATH='random'."
+            ) from e
+    raise RuntimeError(
+        f"Backbone {name!r} has no pretrained checkpoint (not cached at "
+        f"{cache}, not a known download). Set MODEL.BACKBONE.PATH to a local "
+        f".pt/.npz file, or request random init explicitly with "
+        f"MODEL.BACKBONE.PATH='random'."
+    )
 
 
 class TrainerBase:

@@ -31,9 +31,145 @@ def test_generate_fewshot_counts():
     labels = [it.label for it in few]
     for c in range(5):
         assert labels.count(c) == 4
-    # with-replacement when class has too few items
+    # Dassl default repeat=False: a class with too few items keeps all of
+    # them (no replacement, no RNG draw)
     few = generate_fewshot(_items(per_class=2), num_shots=4)
+    assert len(few) == 5 * 2
+    # explicit repeat=True restores with-replacement sampling
+    few = generate_fewshot(_items(per_class=2), num_shots=4, repeat=True)
     assert len(few) == 5 * 4
+
+
+def _dassl_generate_fewshot_spec(data_source, num_shots, repeat=False):
+    """Executable spec of Dassl's ``DatasetBase.generate_fewshot_dataset``
+    + ``split_dataset_by_label`` (the functions the reference calls at
+    datasets/oxford_pets.py:48-49), transcribed from its published
+    algorithm: group by label in first-appearance order (defaultdict),
+    then one ``random.sample(items, num_shots)`` per label — or the whole
+    group (repeat=False) / ``random.choices`` (repeat=True) when the
+    group is smaller.  Used as the RNG-stream oracle because dassl itself
+    is not installed here."""
+    from collections import defaultdict
+
+    tracker = defaultdict(list)
+    for item in data_source:
+        tracker[item.label].append(item)
+    dataset = []
+    for label, items in tracker.items():
+        if len(items) >= num_shots:
+            sampled_items = random.sample(items, num_shots)
+        else:
+            if repeat:
+                sampled_items = random.choices(items, k=num_shots)
+            else:
+                sampled_items = items
+        dataset.extend(sampled_items)
+    return dataset
+
+
+def test_fewshot_rng_stream_matches_dassl():
+    """A fresh few-shot split (no caches) under the same seed draws the
+    SAME impaths, in the same order, as Dassl's sampler — including the
+    train-then-val call sequence of the reference protocol
+    (oxford_pets.py:48-49) and classes too small to sample.  Guards the
+    ±0.3% accuracy-parity budget from loader-side divergence for
+    migrating users without caches."""
+
+    def imbalanced(n_classes, base_per_class, interleave=False):
+        # a small class (2 items) + unequal sizes + optional interleaved
+        # label order exercise grouping order and the no-draw branch
+        out = []
+        sizes = [2 if c == 1 else base_per_class + c for c in range(n_classes)]
+        if interleave:
+            for i in range(max(sizes)):
+                for c in range(n_classes):
+                    if i < sizes[c]:
+                        out.append(
+                            Datum(impath=f"i{c}/{i}.jpg", label=c,
+                                  classname=f"c{c}")
+                        )
+        else:
+            for c in range(n_classes):
+                for i in range(sizes[c]):
+                    out.append(
+                        Datum(impath=f"d{c}/{i}.jpg", label=c,
+                              classname=f"c{c}")
+                    )
+        return out
+
+    datasets = [
+        (imbalanced(6, 20), imbalanced(6, 6)),           # train, val
+        (imbalanced(11, 9, interleave=True),
+         imbalanced(11, 5, interleave=True)),
+    ]
+    for seed in (1, 2):
+        for train_items, val_items in datasets:
+            num_shots = 4
+            random.seed(seed)
+            ours_train = generate_fewshot(train_items, num_shots)
+            ours_val = generate_fewshot(val_items, min(num_shots, 4))
+            random.seed(seed)
+            ref_train = _dassl_generate_fewshot_spec(train_items, num_shots)
+            ref_val = _dassl_generate_fewshot_spec(val_items, min(num_shots, 4))
+            assert [d.impath for d in ours_train] == [d.impath for d in ref_train]
+            assert [d.impath for d in ours_val] == [d.impath for d in ref_val]
+
+
+def test_read_split_cache_without_dassl(tmp_path):
+    """Reference-produced split caches pickle dassl-classed ``Datum``
+    objects (reference datasets/oxford_pets.py:21-35; Dassl's Datum keeps
+    ``_impath``/``_label``/``_classname`` behind properties).  On a host
+    where dassl is NOT importable, ``read_split_cache`` must still load
+    them — via the custom Unpickler mapping unresolvable ``Datum``
+    classes to a stand-in ``_revive`` can normalize."""
+    import pickle
+    import sys
+    import types
+
+    from mudpt_tpu.data.datum import _revive, read_split_cache
+
+    # Synthesize the pickle with a fake dassl module tree, exactly the
+    # shape the reference writes.
+    mod_name = "dassl.data.datasets.base_dataset"
+    created = []
+    for name in ("dassl", "dassl.data", "dassl.data.datasets", mod_name):
+        if name not in sys.modules:
+            sys.modules[name] = types.ModuleType(name)
+            created.append(name)
+
+    class FakeDasslDatum:
+        def __init__(self, impath, label, classname):
+            self._impath = impath
+            self._label = label
+            self._domain = 0
+            self._classname = classname
+
+    FakeDasslDatum.__module__ = mod_name
+    FakeDasslDatum.__qualname__ = "Datum"
+    sys.modules[mod_name].Datum = FakeDasslDatum
+
+    items = [FakeDasslDatum(f"img/{i}.jpg", i % 3, f"cls{i % 3}")
+             for i in range(7)]
+    cache = tmp_path / "preprocessed.pkl"
+    with open(cache, "wb") as f:
+        pickle.dump({"train": items, "val": [], "test": items[:2]}, f,
+                    protocol=pickle.HIGHEST_PROTOCOL)
+
+    # Make dassl UNIMPORTABLE: drop every dassl module (ours and any
+    # oracle stub installed by other tests) for the duration of the load.
+    saved = {k: sys.modules.pop(k) for k in list(sys.modules)
+             if k == "dassl" or k.startswith("dassl.")}
+    try:
+        loaded = read_split_cache(str(cache))
+        revived = _revive(loaded["train"])
+    finally:
+        sys.modules.update(
+            {k: v for k, v in saved.items() if k not in created}
+        )
+    assert [d.impath for d in revived] == [f"img/{i}.jpg" for i in range(7)]
+    assert [d.label for d in revived] == [i % 3 for i in range(7)]
+    assert [d.classname for d in revived] == [f"cls{i % 3}" for i in range(7)]
+    assert all(isinstance(d, Datum) for d in revived)
 
 
 def test_subsample_classes_base_new():

@@ -65,6 +65,32 @@ def test_default_config_preserves_programmatic_state(_restore_policy):
     assert FB.save_acts_enabled() is False
 
 
+def test_explicit_default_value_still_applies(_restore_policy):
+    """A knob explicitly WRITTEN at its default value (YAML ``PERF.BLOCK:
+    auto`` or ``cfg.PERF.BLOCK = "auto"``) counts as set and reapplies —
+    the recovery path from a leaked process-global ``set_block_impl``.
+    Only an untouched default leaves programmatic state alone."""
+    from mudpt_tpu.config.config import _merge_dict
+
+    L.set_block_impl("xla")
+    cfg = default_config()
+    _merge_dict(cfg, {"PERF": {"BLOCK": "auto"}})
+    apply_perf_config(cfg.PERF)
+    assert L._BLOCK_IMPL == "auto"
+
+    # the same write via attribute assignment (tools/bench code paths)
+    L.set_block_impl("xla")
+    cfg2 = default_config()
+    cfg2.PERF.BLOCK = "auto"
+    apply_perf_config(cfg2.PERF)
+    assert L._BLOCK_IMPL == "auto"
+
+    # clone() keeps the touched set
+    L.set_block_impl("xla")
+    apply_perf_config(cfg2.clone().PERF)
+    assert L._BLOCK_IMPL == "auto"
+
+
 def test_env_overrides_config(_restore_policy, monkeypatch):
     monkeypatch.setenv("MUDPT_TPU_BLOCK", "xla")
     monkeypatch.setenv("MUDPT_TPU_SAVE_ACTS", "0")

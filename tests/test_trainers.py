@@ -366,3 +366,43 @@ def test_named_backbone_presets_cover_reference_vit_list():
     assert c336.image_resolution == 336
     assert c336.grid_size == 24
     assert c336.vision_width == _NAMED_CONFIGS["ViT-L/14"].vision_width
+
+
+def test_load_backbone_never_silently_random(tmp_path, monkeypatch):
+    """Fresh host, empty MODEL.BACKBONE.PATH: load_backbone must attempt
+    the reference's download-on-miss behavior (clip/clip.py:95-109) and,
+    when that fails, raise a LOUD error naming the cache path — never
+    fall back to random weights.  Random init requires PATH='random'."""
+    from mudpt_tpu.trainers.base import load_backbone
+
+    monkeypatch.setenv("HOME", str(tmp_path))  # empty ~/.cache/clip
+
+    cfg = default_config()
+    cfg.MODEL.BACKBONE.NAME = "ViT-B/16"
+    cfg.MODEL.BACKBONE.PATH = ""
+
+    calls = []
+
+    def fail_download(name, root="~/.cache/clip"):
+        calls.append(name)
+        raise OSError("no network in this environment")
+
+    monkeypatch.setattr(
+        "mudpt_tpu.models.download.download_model", fail_download
+    )
+    with pytest.raises(RuntimeError) as exc:
+        load_backbone(cfg)
+    msg = str(exc.value)
+    assert calls == ["ViT-B/16"], "download must be attempted on cache miss"
+    assert ".cache/clip" in msg and "random" in msg
+
+    # a cached checkpoint would have been used instead of downloading:
+    # the error path only triggers when both cache and download fail
+    cfg.MODEL.BACKBONE.NAME = "test-tiny"  # preset without a download URL
+    with pytest.raises(RuntimeError, match="random"):
+        load_backbone(cfg)
+
+    # explicit opt-in still works
+    cfg.MODEL.BACKBONE.PATH = "random"
+    clip_cfg, params = load_backbone(cfg)
+    assert clip_cfg.vision_layers == 2
