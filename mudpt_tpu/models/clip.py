@@ -85,6 +85,28 @@ RN101 = CLIPConfig(
     embed_dim=512, vision_layers=33, vision_width=64, vision_patch_size=0,
     vision_arch="resnet", vision_layers_per_stage=(3, 4, 23, 3),
 )
+# EfficientNet-style scaled RN models (reference clip/clip.py:31-41 ships
+# all five RN checkpoints).  Dims follow the published OpenAI checkpoints:
+# width/resolution/stage scaling plus a matched text tower (the shape
+# inference of clip/model.py:892-911 recovers exactly these from the .pt).
+RN50X4 = CLIPConfig(
+    embed_dim=640, image_resolution=288, vision_layers=26, vision_width=80,
+    vision_patch_size=0, vision_arch="resnet",
+    vision_layers_per_stage=(4, 6, 10, 6),
+    transformer_width=640, transformer_heads=10,
+)
+RN50X16 = CLIPConfig(
+    embed_dim=768, image_resolution=384, vision_layers=40, vision_width=96,
+    vision_patch_size=0, vision_arch="resnet",
+    vision_layers_per_stage=(6, 8, 18, 8),
+    transformer_width=768, transformer_heads=12,
+)
+RN50X64 = CLIPConfig(
+    embed_dim=1024, image_resolution=448, vision_layers=64, vision_width=128,
+    vision_patch_size=0, vision_arch="resnet",
+    vision_layers_per_stage=(3, 15, 36, 10),
+    transformer_width=1024, transformer_heads=16,
+)
 
 
 def _init_block_stack(key, layers: int, width: int) -> dict:

@@ -30,6 +30,9 @@ from mudpt_tpu.data import DataManager
 from mudpt_tpu.models.clip import (
     CLIPConfig,
     RN50,
+    RN50X4,
+    RN50X16,
+    RN50X64,
     RN101,
     VIT_B16,
     VIT_B32,
@@ -76,8 +79,12 @@ _NAMED_CONFIGS = {
     "ViT-L/14@336px": dataclasses.replace(VIT_L14, image_resolution=336),
     # RN-family presets (PATH='random' runs; real checkpoints self-infer).
     # Usable with the text-prompt trainers: ZeroshotCLIP(2), CoOp, CoCoOp.
+    # All five reference RN checkpoints (clip/clip.py:31-41) are covered.
     "RN50": RN50,
     "RN101": RN101,
+    "RN50x4": RN50X4,
+    "RN50x16": RN50X16,
+    "RN50x64": RN50X64,
     "test-tiny-rn": dataclasses.replace(
         TINY_TEST,
         embed_dim=64,

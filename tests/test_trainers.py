@@ -406,3 +406,31 @@ def test_load_backbone_never_silently_random(tmp_path, monkeypatch):
     cfg.MODEL.BACKBONE.PATH = "random"
     clip_cfg, params = load_backbone(cfg)
     assert clip_cfg.vision_layers == 2
+
+
+def test_named_backbone_presets_cover_reference_rn_list():
+    """All five reference RN checkpoints (clip/clip.py:31-41) have
+    PATH='random' presets with the published checkpoint dims (the same
+    values models/convert.infer_config recovers from a real .pt):
+    width/resolution/stage scaling plus the matched text tower."""
+    from mudpt_tpu.trainers.base import _NAMED_CONFIGS
+
+    expect = {
+        # name: (embed, res, width, stages, text_width, text_heads)
+        "RN50": (1024, 224, 64, (3, 4, 6, 3), 512, 8),
+        "RN101": (512, 224, 64, (3, 4, 23, 3), 512, 8),
+        "RN50x4": (640, 288, 80, (4, 6, 10, 6), 640, 10),
+        "RN50x16": (768, 384, 96, (6, 8, 18, 8), 768, 12),
+        "RN50x64": (1024, 448, 128, (3, 15, 36, 10), 1024, 16),
+    }
+    for name, (embed, res, width, stages, twidth, theads) in expect.items():
+        c = _NAMED_CONFIGS[name]
+        assert c.vision_arch == "resnet"
+        assert c.embed_dim == embed and c.image_resolution == res
+        assert c.vision_width == width
+        assert c.vision_layers_per_stage == stages
+        assert c.vision_layers == sum(stages)
+        assert c.transformer_width == twidth
+        assert c.transformer_heads == theads
+        # attnpool heads follow the reference rule width*32/64
+        assert c.vision_heads == width * 32 // 64

@@ -1,0 +1,668 @@
+#!/usr/bin/env python
+"""Full-protocol trained-ACCURACY A/B vs the torch reference stack.
+
+The parity suite certifies logits/grads/8-step trajectories; this tool
+closes the remaining gap to the ±0.3% north star (BASELINE.json): it
+trains BOTH stacks end to end through the real recipe — the shipped
+optimizer schedule (SGD momentum 0.9 + weight decay, per-epoch cosine LR,
+1-epoch constant warmup: configs/trainers/MuDPT/
+vit_b16_bz4_ep10_nctx2_depth9.yaml:15-22), 16-shot few-shot sampling, and
+the base->new generalization protocol with its checkpoint-transfer
+semantics (reference scripts/mudpt/train_base2new.sh:25-44 +
+trainers/mudpt.py:270-303) — on IDENTICAL data with IDENTICAL initial
+weights, and compares final test top-1.
+
+Our side is the production engine (TrainerBase.train/test/load_model);
+the reference side is the real torch model stack (trainers/{mudpt,coop,
+cocoop}.py CustomCLIP) driven by an executable spec of Dassl's training
+loop (CE backward + SGD step per batch, LR set per epoch from torch's own
+CosineAnnealingLR — the composition reference trainers/mudpt.py:225-259
+builds via Dassl's build_optimizer/build_lr_scheduler).  Dassl itself is
+not installed in this environment, so its loop is transcribed; every
+numerical component (model math, optimizer step, LR values) comes from
+torch itself.
+
+Identity controls (so any delta is training-dynamics numerics, not setup):
+  * one tiny CLIP backbone, built in torch, saved as a .pt state dict, and
+    loaded by BOTH stacks (ours through the production converter);
+  * prompt-learner initial weights transplanted torch -> ours;
+  * the batch stream is recorded from OUR production loader (sequential
+    sampler + deterministic transform => epoch-invariant) and replayed
+    verbatim to torch;
+  * few-shot subsets drawn once by our Dassl-RNG-equal sampler
+    (tests/test_data.py pins the stream equality) and shared.
+
+Scale deviations from the shipped recipe, forced by the environment (no
+real CLIP weights; CPU): a tiny random-init CLIP (width 64, 2+2 layers),
+32x32 synthetic images, 8 classes, and DEEP_PROMPT_DEPTH 2 (the 2-layer
+tower cannot host depth 9); LR is raised so 10 epochs actually move the
+tiny model.  The schedule SHAPE, batch size, epochs, update rule, and the
+full protocol structure are the reference's.
+
+Usage:
+  JAX_PLATFORMS=cpu python tools/accuracy_ab.py                 # full table
+  ... --methods MuDPT --seeds 1 --epochs 4                      # quick
+Writes JSON (one line per run) and a markdown table to stdout; the
+committed results live in docs/PARITY.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import copy
+import json
+import os
+import random
+import sys
+import tempfile
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp  # noqa: E402
+
+from tests.reference_oracle import (  # noqa: E402
+    add_reference_path,
+    install_reference_stubs,
+)
+
+N_CLS = 8
+IMG = 32
+BATCH = 4          # reference MuDPT yaml DATALOADER.TRAIN_X.BATCH_SIZE
+TEST_BATCH = 32
+SHOTS = 16
+LR = 0.015         # ~6x the recipe's 0.0025 for the tiny model (piloted:
+                   # 0.04+ oscillates — chaotic trajectories amplify fp
+                   # noise between otherwise-identical stacks; 0.0025
+                   # barely moves it); schedule shape is the recipe's
+WARMUP_CONS_LR = 1e-5
+MOMENTUM = 0.9
+WEIGHT_DECAY = 5e-4
+
+
+# ---------------------------------------------------------------------------
+# identical synthetic data for both stacks
+# ---------------------------------------------------------------------------
+
+def synth_splits(data_seed: int, amp: float = 0.24, noise: float = 0.68):
+    """Per-class RGB tints at the 8 corners of the RGB cube (random tints
+    can land nearly coincident — a 0.125 min pairwise distance under the
+    noise capped every model at ~25% in the pilot) + uniform pixel noise.
+    ``amp``/``noise`` set the domain: the pretraining pool uses a wide,
+    clean domain; the downstream protocol a compressed, noisier one, so
+    zero-shot lands mid-range and prompt tuning has real headroom (the
+    pretrained-CLIP -> downstream-adaptation regime the reference protocol
+    runs in).  Returns (train_pool, val, test) Datum lists."""
+    from mudpt_tpu.data.datum import Datum
+
+    rng = np.random.RandomState(1000 + data_seed)
+    corners = np.array(
+        [[i >> 2 & 1, i >> 1 & 1, i & 1] for i in range(8)], np.float32
+    )
+    colors = (0.5 + amp * (corners - 0.5))[:N_CLS]
+    names = [f"object {c}" for c in range(N_CLS)]
+
+    def make(label, count):
+        out = []
+        for _ in range(count):
+            img = (
+                colors[label]
+                + noise * (rng.rand(IMG, IMG, 3).astype(np.float32) - 0.5)
+            )
+            out.append(
+                Datum(
+                    label=label,
+                    classname=names[label],
+                    array=np.clip(img, 0.0, 1.0).astype(np.float32),
+                )
+            )
+        return out
+
+    train_pool, val, test = [], [], []
+    for c in range(N_CLS):
+        train_pool += make(c, 32)
+        val += make(c, 8)
+        test += make(c, 24)
+    return train_pool, val, test
+
+
+def protocol_dataset(cfg, data_seed: int):
+    """The reference data protocol over the synthetic pool: seed ->
+    few-shot subsample (our Dassl-RNG-equal sampler) -> base/new class
+    subsample -> DatasetBase."""
+    from mudpt_tpu.data.datum import (
+        DatasetBase,
+        generate_fewshot,
+        subsample_classes,
+    )
+
+    train_pool, val, test = synth_splits(data_seed)
+    random.seed(cfg.SEED)
+    train = generate_fewshot(train_pool, SHOTS)
+    val = generate_fewshot(val, min(SHOTS, 4))
+    train, val, test = subsample_classes(
+        train, val, test, subsample=cfg.DATASET.SUBSAMPLE_CLASSES
+    )
+    # ONE deterministic interleave of the class-grouped few-shot list: the
+    # replayed stream stays identical across epochs/stacks (sequential
+    # sampler), but batches mix classes — class-pure batches make SGD
+    # track the current batch's class instead of learning (the role the
+    # reference's RandomSampler plays)
+    random.Random(97 + cfg.SEED).shuffle(train)
+    return DatasetBase(train_x=train, val=val, test=test)
+
+
+# ---------------------------------------------------------------------------
+# shared tiny backbone
+# ---------------------------------------------------------------------------
+
+def ref_cfg_for(method: str, hp: dict):
+    install_reference_stubs()
+    from yacs.config import CfgNode
+
+    cfg = CfgNode()
+    cfg.TRAINER = CfgNode()
+    cfg.TRAINER.NAME = method
+    ns = CfgNode()
+    for k, v in hp.items():
+        setattr(ns, k, v)
+    setattr(cfg.TRAINER, method.upper(), ns)
+    cfg.INPUT = CfgNode()
+    cfg.INPUT.SIZE = (IMG, IMG)
+    return cfg
+
+
+def build_torch_clip(rcfg, seed: int):
+    """Tiny torch CLIP (the reference's own CLIP class; ``rcfg`` picks the
+    prompt-aware tower variant, None the plain one)."""
+    install_reference_stubs()
+    add_reference_path()
+    import importlib
+
+    import torch
+
+    clip_mod = importlib.import_module("clip.model")
+    torch.manual_seed(seed)
+    model = clip_mod.CLIP(
+        embed_dim=64, image_resolution=IMG, vision_layers=2, vision_width=64,
+        vision_patch_size=16, context_length=77, vocab_size=49408,
+        transformer_width=64, transformer_heads=1, transformer_layers=2,
+        cfg=rcfg,
+    ).float().eval()
+    return torch, clip_mod, model
+
+
+def save_backbone_pt(torch, model, path: str):
+    sd = {
+        k: v for k, v in model.state_dict().items() if "visual_ctx" not in k
+    }
+    torch.save(sd, path)
+
+
+def _normalized_batch(items):
+    from mudpt_tpu.data.transforms import CLIP_MEAN, CLIP_STD
+
+    mean = np.asarray(CLIP_MEAN, np.float32)
+    std = np.asarray(CLIP_STD, np.float32)
+    arr = np.stack([(it.array - mean) / std for it in items])
+    return arr.transpose(0, 3, 1, 2).astype(np.float32)
+
+
+def pretrain_backbone(seed: int, data_seed: int, steps: int, pt_path: str):
+    """A random backbone gives every prompt method chance-level accuracy
+    (no class signal in either tower — the repo's own trainer tests note
+    absolute accuracy is meaningless there), which would make the A/B
+    vacuous.  Real CLIP weights are environment-blocked, so: briefly align
+    the tiny CLIP on the synthetic pool in TORCH (CE over its own cosine
+    logits vs the tokenized classname prompts — miniature CLIP
+    fine-tuning), stopping well short of ceiling.  Both stacks then start
+    from this same .pt, zero-shot sits mid-range, and prompt tuning has
+    real headroom — the regime the reference protocol actually runs in."""
+    import importlib
+
+    rcfg = None  # plain towers; the per-method variants load this sd
+    torch, clip_mod, model = build_torch_clip(rcfg, seed)
+    clip_pkg = importlib.import_module("clip")
+
+    # wide, clean pretraining domain (vs the downstream default)
+    train_pool, _, _ = synth_splits(data_seed + 50, amp=0.9, noise=0.25)
+    names = sorted({it.classname for it in train_pool})
+    tokens = torch.cat(
+        [clip_pkg.tokenize(f"a photo of a {n}.") for n in names]
+    )
+    model.train().float()
+    opt = torch.optim.Adam(model.parameters(), lr=2e-3)
+    rng = np.random.RandomState(500 + seed)
+    import torch.nn.functional as F
+
+    for _ in range(steps):
+        idx = rng.choice(len(train_pool), size=32, replace=False)
+        items = [train_pool[i] for i in idx]
+        images = torch.from_numpy(_normalized_batch(items))
+        labels = torch.tensor([names.index(it.classname) for it in items])
+        logits, _ = model(images, tokens)
+        loss = F.cross_entropy(logits, labels)
+        opt.zero_grad(set_to_none=True)
+        loss.backward()
+        opt.step()
+    model.eval()
+    save_backbone_pt(torch, model, pt_path)
+    return float(loss.detach())
+
+
+# ---------------------------------------------------------------------------
+# transplant maps (same shapes the zoo-parity tests pin)
+# ---------------------------------------------------------------------------
+
+def _tc(x):
+    return jnp.asarray(np.array(x.detach().numpy(), copy=True))
+
+
+def _lin(module):
+    return {"w": _tc(module.weight).T, "b": _tc(module.bias)}
+
+
+def transplant(method: str, ref):
+    """(our trainable pytree, torch trainable param list) from the freshly
+    initialized reference CustomCLIP — both stacks then start identical."""
+    if method == "CoOp":
+        pl = ref.prompt_learner
+        return {"ctx": _tc(pl.ctx)}, [pl.ctx]
+    if method == "CoCoOp":
+        pl = ref.prompt_learner
+        tree = {
+            "ctx": _tc(pl.ctx),
+            "meta_net": {
+                "linear1": _lin(pl.meta_net.linear1),
+                "linear2": _lin(pl.meta_net.linear2),
+            },
+        }
+        params = [
+            pl.ctx,
+            pl.meta_net.linear1.weight, pl.meta_net.linear1.bias,
+            pl.meta_net.linear2.weight, pl.meta_net.linear2.bias,
+        ]
+        return tree, params
+    if method == "MuDPT":
+        pl = ref.mudpt_prompt_learner
+        ie = ref.image_encoder
+        tree = {
+            "ctx": _tc(pl.ctx),
+            "deep_prompts": _tc(pl.deep_prompts),
+            "embed_projection": _lin(pl.embed_projection),
+            "deep_projections": _lin(pl.deep_projections),
+            "visual_ctx": _tc(ie.visual_ctx),
+            "visual_ctx_deep_prompts": _tc(ie.visual_ctx_deep_prompts),
+            "visual_ctx_deep_projections": _lin(ie.visual_ctx_deep_projections),
+        }
+        params = [
+            pl.ctx, pl.deep_prompts,
+            pl.embed_projection.weight, pl.embed_projection.bias,
+            pl.deep_projections.weight, pl.deep_projections.bias,
+            ie.visual_ctx, ie.visual_ctx_deep_prompts,
+            ie.visual_ctx_deep_projections.weight,
+            ie.visual_ctx_deep_projections.bias,
+        ]
+        return tree, params
+    raise KeyError(method)
+
+
+# ---------------------------------------------------------------------------
+# our stack
+# ---------------------------------------------------------------------------
+
+METHODS = {
+    # method -> (our hparams, reference hparams) — the shipped configs'
+    # values, except DEEP_PROMPT_DEPTH (2-layer tiny tower) and N_CTX for
+    # CoOp (16 ctx tokens vs 8 synthetic classnames is degenerate at tiny
+    # scale; 4 is the reference's few-shot table setting)
+    "CoOp": (
+        dict(N_CTX=4, CTX_INIT="a photo of a", PREC="fp32", CSC=False,
+             CLASS_TOKEN_POSITION="end"),
+        dict(N_CTX=4, CTX_INIT="a photo of a", PREC="fp32", CSC=False,
+             CLASS_TOKEN_POSITION="end"),
+    ),
+    "CoCoOp": (
+        dict(N_CTX=4, CTX_INIT="a photo of a", PREC="fp32"),
+        dict(N_CTX=4, CTX_INIT="a photo of a", PREC="fp32"),
+    ),
+    "MuDPT": (
+        dict(N_CTX=2, CTX_INIT="a photo of a", DEEP_PROMPT_DEPTH=2,
+             PREC="fp32"),
+        dict(N_CTX=2, CTX_INIT="a photo of a", DEEP_PROMPT_DEPTH=2,
+             PREC="fp32"),
+    ),
+}
+
+
+def our_cfg(method: str, hp: dict, out_dir: str, seed: int, epochs: int,
+            subsample: str):
+    from mudpt_tpu.config import default_config
+
+    cfg = default_config()
+    cfg.SEED = seed
+    cfg.TRAINER.NAME = method
+    cfg.MODEL.BACKBONE.NAME = "test-tiny"
+    cfg.DATASET.NAME = "SyntheticAB"
+    cfg.DATASET.NUM_SHOTS = SHOTS
+    cfg.DATASET.SUBSAMPLE_CLASSES = subsample
+    cfg.INPUT.SIZE = (IMG, IMG)
+    cfg.INPUT.TRANSFORMS = ("normalize",)  # deterministic: stream replayable
+    cfg.DATALOADER.TRAIN_X.BATCH_SIZE = BATCH
+    cfg.DATALOADER.TRAIN_X.SAMPLER = "sequential"  # identical batch order
+    cfg.DATALOADER.TEST.BATCH_SIZE = TEST_BATCH
+    cfg.DATALOADER.NUM_WORKERS = 2
+    cfg.OPTIM.NAME = "sgd"
+    cfg.OPTIM.LR = LR
+    cfg.OPTIM.MAX_EPOCH = epochs
+    cfg.OPTIM.LR_SCHEDULER = "cosine"
+    cfg.OPTIM.WARMUP_EPOCH = 1
+    cfg.OPTIM.WARMUP_TYPE = "constant"
+    cfg.OPTIM.WARMUP_CONS_LR = WARMUP_CONS_LR
+    cfg.OPTIM.MOMENTUM = MOMENTUM
+    cfg.OPTIM.WEIGHT_DECAY = WEIGHT_DECAY
+    cfg.TEST.FINAL_MODEL = "last_step"
+    cfg.TRAIN.PRINT_FREQ = 1000
+    cfg.OUTPUT_DIR = out_dir
+    hpn = cfg.trainer_params(method)
+    for k, v in hp.items():
+        setattr(hpn, k, v)
+    return cfg
+
+
+def record_batches(loader):
+    """Snapshot one epoch of the production loader without advancing its
+    resume-relevant epoch counter.  Sequential sampler + deterministic
+    transform => every epoch replays this exact stream."""
+    prev = loader._epoch
+    batches = [
+        {k: np.asarray(v) for k, v in b.items()} for b in loader
+    ]
+    loader._epoch = prev
+    return batches
+
+
+def build_our_trainer(cfg, dataset):
+    import mudpt_tpu.trainers as _t  # noqa: F401 (registration side effects)
+    from mudpt_tpu.utils.registry import TRAINER_REGISTRY
+
+    cls = TRAINER_REGISTRY.get(cfg.TRAINER.NAME)
+    return cls(cfg, dataset=dataset)
+
+
+def set_our_init(tr, tree):
+    """Overwrite the trainer's freshly initialized prompt pytree with the
+    transplanted torch init (and re-init optimizer state to match)."""
+    from mudpt_tpu.parallel.mesh import replicate
+
+    ours = jax.device_get(tr.trainable)
+    ours_paths = [p for p, _ in jax.tree_util.tree_flatten_with_path(ours)[0]]
+    new_paths = [p for p, _ in jax.tree_util.tree_flatten_with_path(tree)[0]]
+    assert ours_paths == new_paths, (
+        f"trainable structure mismatch: {ours_paths} vs {new_paths}"
+    )
+    for (p, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(ours)[0],
+        jax.tree_util.tree_flatten_with_path(tree)[0],
+    ):
+        assert a.shape == b.shape, (p, a.shape, b.shape)
+    tr.trainable = replicate(tr.mesh, tree)
+    tr.opt_state = tr.tx.init(tr.trainable)
+
+
+# ---------------------------------------------------------------------------
+# torch stack: executable spec of the Dassl loop
+# ---------------------------------------------------------------------------
+
+def torch_epoch_lrs(torch, epochs):
+    """Per-epoch LRs from torch's own CosineAnnealingLR stepped once per
+    epoch (Dassl convention), epoch 0 overridden by the constant warmup
+    (Dassl ConstantWarmupScheduler, WARMUP_EPOCH=1)."""
+    probe = torch.optim.SGD([torch.nn.Parameter(torch.zeros(1))], lr=LR)
+    sched = torch.optim.lr_scheduler.CosineAnnealingLR(probe, T_max=epochs)
+    lrs = []
+    for _ in range(epochs):
+        lrs.append(sched.get_last_lr()[0])
+        sched.step()
+    lrs[0] = WARMUP_CONS_LR
+    return lrs
+
+
+def torch_train(torch, method, ref, params, batches, epochs):
+    """Reference loop: for each epoch set LR, for each batch CE backward +
+    SGD step (trainers/mudpt.py:235-259; CoCoOp returns the loss from its
+    forward, cocoop.py:195-196)."""
+    import torch.nn.functional as F
+
+    for p in ref.parameters():
+        p.requires_grad_(False)
+    for p in params:
+        p.requires_grad_(True)
+    opt = torch.optim.SGD(
+        params, lr=LR, momentum=MOMENTUM, weight_decay=WEIGHT_DECAY
+    )
+    lrs = torch_epoch_lrs(torch, epochs)
+    ref.train()
+    losses = []
+    for epoch in range(epochs):
+        for group in opt.param_groups:
+            group["lr"] = lrs[epoch]
+        for b in batches:
+            assert bool(b["valid"].all()), "train stream must be unpadded"
+            images = torch.from_numpy(
+                np.ascontiguousarray(b["image"].transpose(0, 3, 1, 2))
+            )
+            labels = torch.from_numpy(b["label"].astype(np.int64))
+            opt.zero_grad(set_to_none=True)
+            if method == "CoCoOp":
+                loss = ref(images, labels)
+            else:
+                loss = F.cross_entropy(ref(images), labels)
+            loss.backward()
+            opt.step()
+            losses.append(float(loss.detach()))
+    ref.eval()
+    return losses
+
+
+def torch_eval(torch, ref, batches):
+    correct = total = 0
+    ref.eval()
+    with torch.no_grad():
+        for b in batches:
+            images = torch.from_numpy(
+                np.ascontiguousarray(b["image"].transpose(0, 3, 1, 2))
+            )
+            preds = ref(images).argmax(dim=-1).numpy()
+            valid = b["valid"]
+            correct += int((preds[valid] == b["label"][valid]).sum())
+            total += int(valid.sum())
+    return 100.0 * correct / max(total, 1)
+
+
+def torch_transfer_eval(torch, clip_mod, method, rcfg, tower_cfg,
+                        trained_ref, new_classnames, pt_path, test_batches):
+    """The base->new checkpoint-transfer semantics (trainers/mudpt.py:
+    270-303): rebuild the model for the NEW classnames from the pretrained
+    backbone, take the trained state dict, DELETE the class-dependent
+    token_prefix/token_suffix buffers, load strict=False, eval."""
+    import importlib
+
+    torch.manual_seed(777)  # new model's fresh prompt init is overwritten
+    model2 = clip_mod.CLIP(
+        embed_dim=64, image_resolution=IMG, vision_layers=2, vision_width=64,
+        vision_patch_size=16, context_length=77, vocab_size=49408,
+        transformer_width=64, transformer_heads=1, transformer_layers=2,
+        cfg=tower_cfg,
+    ).float()
+    model2.load_state_dict(
+        torch.load(pt_path, map_location="cpu", weights_only=False),
+        strict=False,
+    )
+    tmod = importlib.import_module(f"trainers.{method.lower()}")
+    ref_new = tmod.CustomCLIP(rcfg, new_classnames, model2).float().eval()
+    sd = {k: v.clone() for k, v in trained_ref.state_dict().items()}
+    for k in [k for k in sd if k.endswith(("token_prefix", "token_suffix"))]:
+        del sd[k]
+    ref_new.load_state_dict(sd, strict=False)
+    return torch_eval(torch, ref_new, test_batches)
+
+
+# ---------------------------------------------------------------------------
+# one (method, seed) A/B through the full protocol
+# ---------------------------------------------------------------------------
+
+def run_ab(method: str, seed: int, epochs: int, workdir: str, pt_path: str):
+    import importlib
+
+    import torch
+
+    our_hp, ref_hp = METHODS[method]
+    rcfg = ref_cfg_for(method, ref_hp)
+    # tower selection: CLIP(cfg=...) only for methods with their own tower
+    # variant; the plain towers reject non-VPT cfgs (clip/model.py:458)
+    tower_cfg = rcfg if method in ("MuDPT", "UMuDPT", "UUMuDPT") else None
+    clip_mod = importlib.import_module("clip.model")
+    tmod = importlib.import_module(f"trainers.{method.lower()}")
+
+    results = {}
+    for stage, subsample in (("cls", "all"), ("base", "base"),
+                             ("new", "new")):
+        out_dir = os.path.join(workdir, f"{method}_s{seed}_{stage}")
+        cfg = our_cfg(method, dict(our_hp), out_dir, seed, epochs, subsample)
+        cfg.MODEL.BACKBONE.PATH = pt_path
+        dataset = protocol_dataset(cfg, data_seed=7)
+        tr = build_our_trainer(cfg, dataset)
+
+        if stage == "new":
+            # ours: transfer-load the base-trained prompts, eval on new
+            tr.load_model(
+                os.path.join(workdir, f"{method}_s{seed}_base"), epoch=epochs
+            )
+            ours_acc = tr.test()["accuracy"]
+            test_batches = record_batches(tr.dm.test_loader)
+            ref_acc = torch_transfer_eval(
+                torch, clip_mod, method, rcfg, tower_cfg,
+                results["base"]["ref_model"], dataset.classnames, pt_path,
+                test_batches,
+            )
+        else:
+            # a FRESH backbone per training stage, loaded from the shared
+            # pretrained .pt (the cls stage must not leak trained MuDPT
+            # visual_ctx values into base; strict=False leaves the
+            # method's fresh prompt params in place, like the reference's
+            # build_model, clip/model.py:919)
+            _, _, stage_clip = build_torch_clip(tower_cfg, seed)
+            stage_clip.load_state_dict(
+                torch.load(pt_path, map_location="cpu", weights_only=False),
+                strict=False,
+            )
+            torch.manual_seed(100 + seed)  # prompt init (transplanted)
+            ref = tmod.CustomCLIP(
+                rcfg, dataset.classnames, stage_clip
+            ).float().eval()
+            tree, torch_params = transplant(method, ref)
+            set_our_init(tr, tree)
+
+            train_batches = record_batches(tr.dm.train_loader)
+            test_batches = record_batches(tr.dm.test_loader)
+
+            pre_acc = tr.test()["accuracy"]
+            print(f"[{method} seed={seed} {stage}] pre-train acc "
+                  f"{pre_acc:.2f}", flush=True)
+            tr.train()  # production loop; after_train runs the final test
+            ours_acc = tr.test()["accuracy"]
+            ref_losses = torch_train(torch, method, ref, torch_params,
+                                     train_batches, epochs)
+            ref_acc = torch_eval(torch, ref, test_batches)
+            if os.environ.get("AB_DEBUG"):
+                import json as _json
+
+                ours_losses = [
+                    (_json.loads(l)["epoch"], _json.loads(l)["loss"])
+                    for l in open(os.path.join(out_dir, "metrics.jsonl"))
+                    if '"train"' in l
+                ]
+                n_b = len(train_batches)
+                for ep, ol in ours_losses:
+                    rl = ref_losses[ep * n_b - 1]
+                    print(f"  dbg epoch {ep}: ours_loss {ol:.6f} "
+                          f"ref_loss {rl:.6f} diff {ol - rl:+.2e}")
+
+        results[stage] = {
+            "ours": ours_acc,
+            "ref": ref_acc,
+            "delta": ours_acc - ref_acc,
+            "ref_model": None if stage == "new" else ref,
+        }
+        print(
+            f"[{method} seed={seed} {stage}] ours={ours_acc:.2f} "
+            f"ref={ref_acc:.2f} delta={ours_acc - ref_acc:+.2f}",
+            flush=True,
+        )
+        # base2new trains on the base split; its trained torch model feeds
+        # the 'new' transfer eval above
+    for stage in results:
+        results[stage].pop("ref_model", None)
+    return results
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--methods", nargs="*", default=["CoOp", "CoCoOp", "MuDPT"])
+    ap.add_argument("--seeds", nargs="*", type=int, default=[1, 2, 3])
+    ap.add_argument("--epochs", type=int, default=10)
+    ap.add_argument("--pretrain-steps", type=int, default=150)
+    ap.add_argument("--workdir", default="")
+    ap.add_argument("--json-out", default="")
+    args = ap.parse_args()
+
+    workdir = args.workdir or tempfile.mkdtemp(prefix="accuracy_ab_")
+    os.makedirs(workdir, exist_ok=True)
+    rows = []
+    pts = {}
+    for seed in args.seeds:
+        pts[seed] = os.path.join(workdir, f"backbone_s{seed}.pt")
+        loss = pretrain_backbone(
+            seed, data_seed=7, steps=args.pretrain_steps, pt_path=pts[seed]
+        )
+        print(f"[pretrain seed={seed}] final loss {loss:.3f}", flush=True)
+    for method in args.methods:
+        for seed in args.seeds:
+            res = run_ab(method, seed, args.epochs, workdir, pts[seed])
+            for stage, r in res.items():
+                rows.append(
+                    dict(method=method, seed=seed, stage=stage,
+                         ours=r["ours"], ref=r["ref"], delta=r["delta"])
+                )
+
+    print("\n| method | stage | seeds | ours top-1 | torch ref top-1 | delta |")
+    print("|---|---|---|---|---|---|")
+    for method in args.methods:
+        for stage in ("cls", "base", "new"):
+            sel = [r for r in rows if r["method"] == method
+                   and r["stage"] == stage]
+            if not sel:
+                continue
+            ours = np.mean([r["ours"] for r in sel])
+            ref = np.mean([r["ref"] for r in sel])
+            deltas = [r["delta"] for r in sel]
+            print(
+                f"| {method} | {stage} | {len(sel)} | {ours:.2f} | {ref:.2f} "
+                f"| {np.mean(deltas):+.2f} "
+                f"(max |{max(abs(d) for d in deltas):.2f}|) |"
+            )
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+    print(f"\nworkdir: {workdir}")
+
+
+if __name__ == "__main__":
+    main()
