@@ -308,9 +308,11 @@ class TrainerBase:
         inference = getattr(self, "model_inference", None)
         if fwd_text is None and inference is None:
             raise ValueError(
-                "TRAIN.QUANT 'int8_static' needs image-independent text "
-                "features to calibrate on (this trainer re-encodes text "
-                "per instance); use TRAIN.QUANT 'int8' (dynamic scales)"
+                "TRAIN.QUANT 'int8_static'/'int8_ste_static' needs "
+                "image-independent text features to calibrate on (this "
+                "trainer re-encodes text per instance); use the dynamic "
+                "tiers instead: TRAIN.QUANT 'int8' (eval) or 'int8_ste' "
+                "(QAT — verified for CoCoOp, tests/test_quant_block.py)"
             )
         # the calibration fetch must not advance the loader's epoch state:
         # every pipeline's __iter__ mutates _epoch, and exact mid-epoch
