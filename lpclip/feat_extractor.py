@@ -61,7 +61,16 @@ def main(args) -> None:
     print(f"Load CLIP backbone: {cfg.MODEL.BACKBONE.NAME}")
     clip_cfg, params = load_backbone(cfg)
 
-    encode = jax.jit(functools.partial(encode_image, cfg=clip_cfg))
+    if args.dtype == "bf16":
+        # the production serving precision (the reference extracts with the
+        # fp16 model clip.load returns); features come back fp32
+        from mudpt_tpu.models.clip import cast_matmul_weights
+
+        params = cast_matmul_weights(params, jnp.bfloat16)
+    compute_dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+    encode = jax.jit(
+        functools.partial(encode_image, cfg=clip_cfg, compute_dtype=compute_dtype)
+    )
 
     loader = DataLoader(
         split_items,
@@ -70,11 +79,27 @@ def main(args) -> None:
         num_workers=cfg.DATALOADER.NUM_WORKERS,
     )
     features, labels = [], []
+    import time
+
+    t0 = n_done = None
     for batch in loader:
-        feats = np.asarray(encode(params, jnp.asarray(batch["image"])))
+        feats = np.asarray(
+            encode(params, jnp.asarray(batch["image"], compute_dtype))
+        ).astype(np.float32)
         mask = batch["valid"]
+        if t0 is None:
+            t0, n_done = time.perf_counter(), 0  # first batch bounds compile
+        else:
+            n_done += int(mask.sum())
         features.append(feats[mask])
         labels.append(batch["label"][mask])
+    if n_done:
+        dt = time.perf_counter() - t0
+        print(
+            f"Extraction throughput: {n_done / dt:.1f} img/s "
+            f"({n_done} imgs after the compile batch, {dt:.1f}s, "
+            f"dtype={args.dtype})"
+        )
 
     save_dir = os.path.join(args.output_dir, cfg.DATASET.NAME)
     os.makedirs(save_dir, exist_ok=True)
@@ -97,6 +122,9 @@ def parse_args(argv=None):
                         choices=["train", "val", "test"])
     parser.add_argument("--backbone_name", type=str, default="")
     parser.add_argument("--backbone_path", type=str, default="")
+    parser.add_argument("--dtype", choices=["fp32", "bf16"], default="fp32",
+                        help="bf16: cast matmul weights + compute like the "
+                        "production serving path (features saved fp32)")
     parser.add_argument("--seed", type=int, default=1)
     parser.add_argument("opts", default=[], nargs=argparse.REMAINDER)
     return parser.parse_args(argv)

@@ -219,7 +219,12 @@ class TrainerBase:
         self._skip_batches = 0       # mid-epoch resume fast-forward
 
         hp = cfg.trainer_params() if cfg.TRAINER.NAME else None
-        prec = getattr(hp, "PREC", "fp32") if hp is not None else "fp32"
+        # trainers without a PREC hparam (the zero-shot pair) follow their
+        # class default — the reference keeps the backbone fp16 there too
+        # (build_model applies convert_weights unconditionally,
+        # clip/model.py:917; zsclip never floats it)
+        prec = getattr(hp, "PREC", self.prec_default) if hp is not None \
+            else self.prec_default
         # fp16/amp -> bfloat16 on TPU (fp16 drift absorbed by parity budget)
         self.compute_dtype = jnp.bfloat16 if prec in ("fp16", "amp") else jnp.float32
 
@@ -249,6 +254,8 @@ class TrainerBase:
     # injection is defined for the ViT towers only (as in the reference,
     # whose prompt block variants subclass the transformer towers)
     requires_vit = False
+    # PREC when the trainer has no PREC hparam (see __init__)
+    prec_default = "fp32"
 
     def load_clip(self):
         clip_cfg, params = load_backbone(self.cfg)

@@ -68,6 +68,11 @@ def _zs_inference(trainable, frozen, aux, images, *, clip_cfg, compute_dtype,
 class ZeroshotCLIP(TrainerBase):
     model_name = "zsclip"
     templates = None  # single dataset template
+    # the reference serves zero-shot on the fp16 backbone convert_weights
+    # produced (clip/model.py:917; zsclip.py never floats it) — bf16 here.
+    # Measured on-chip (docs/BENCHMARKS.md round 5): the fp32 default read
+    # 4920 img/s vs CoOp's 8564 on the same RN50 tower.
+    prec_default = "fp16"
 
     def build_model(self):
         cfg = self.cfg

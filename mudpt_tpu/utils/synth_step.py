@@ -14,7 +14,7 @@ from __future__ import annotations
 import functools
 from types import SimpleNamespace
 
-MODEL_NAMES = ("ViT-B/16", "ViT-L/14", "test-tiny")
+MODEL_NAMES = ("ViT-B/16", "ViT-L/14", "ViT-L/14@336px", "test-tiny")
 
 
 def build_synth_mudpt_step(
@@ -53,6 +53,10 @@ def build_synth_mudpt_step(
         raise ValueError(f"unknown model {model!r}; known: {MODEL_NAMES}")
     if model == "test-tiny":  # CPU smoke runs (tests/test_bench.py)
         from mudpt_tpu.trainers.base import TINY_TEST as clip_cfg
+    elif model == "ViT-L/14@336px":  # S=577: the 336px fine-tune's grid
+        import dataclasses
+
+        clip_cfg = dataclasses.replace(VIT_L14, image_resolution=336)
     else:
         clip_cfg = VIT_B16 if model == "ViT-B/16" else VIT_L14
     params = cast_matmul_weights(init_clip_params(new_rng(0), clip_cfg), jnp.bfloat16)

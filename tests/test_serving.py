@@ -87,7 +87,13 @@ def test_export_zsclip_model_inference_path(tmp_path):
     want = np.asarray(
         tr.model_inference(tr.trainable, tr.frozen, tr.aux, imgs)
     )[:, : tr.num_classes]
-    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+    # zero-shot serves at the reference's backbone precision (bf16,
+    # zsclip.prec_default): the artifact and the in-process jit are two
+    # separately compiled programs, and bf16 rounding points may differ
+    # between them — logits agree to bf16 resolution, predictions exactly
+    # (the fp32 trainers above pin the path itself at 1e-5)
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+    np.testing.assert_array_equal(got.argmax(-1), want.argmax(-1))
 
 
 def test_export_cocoop_requires_pinned_batch(tmp_path):

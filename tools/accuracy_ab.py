@@ -49,7 +49,6 @@ committed results live in docs/PARITY.md.
 from __future__ import annotations
 
 import argparse
-import copy
 import json
 import os
 import random

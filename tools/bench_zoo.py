@@ -50,6 +50,7 @@ ZOO = (
 
 def bench_one(name: str, extra: dict, args) -> dict:
     import jax
+    import numpy as np
 
     from mudpt_tpu.config import default_config
     from mudpt_tpu.parallel.mesh import shard_batch
@@ -93,6 +94,43 @@ def bench_one(name: str, extra: dict, args) -> dict:
     # (halves H2D + device reads) before sharding
     sb = shard_batch(tr.mesh, tr._cast_images(batch))
 
+    if args.mode == "eval":
+        # the serving path evaluate() runs: text features cached ONCE per
+        # pass where the method allows (every prompt trainer but CoCoOp;
+        # ZeroshotCLIP caches in aux at build), argmax on device
+        if getattr(tr, "_text_features", None) is not None:
+            txt = tr._text_features(tr.trainable, tr.frozen, tr.aux)
+            jax.block_until_ready(txt)
+
+            def step():
+                return tr._eval_step_cached(
+                    tr.trainable, tr.frozen, tr.aux, sb["image"], txt
+                )
+        else:
+
+            def step():
+                return tr._eval_step(tr.trainable, tr.frozen, tr.aux, sb["image"])
+
+        t_compile = time.perf_counter()
+        preds = np.asarray(step())  # host fetch bounds the compile
+        compile_s = time.perf_counter() - t_compile
+        for _ in range(max(0, args.warmup - 1)):
+            preds = np.asarray(step())
+        t0 = time.perf_counter()
+        for _ in range(args.steps):
+            preds_dev = step()
+        preds = np.asarray(preds_dev)  # (B,) int32: bounds queued steps
+        dt = time.perf_counter() - t0
+        return {
+            "trainer": name,
+            "mode": "eval",
+            "img_per_sec": round(args.batch * args.steps / dt, 1),
+            "ms_per_step": round(dt / args.steps * 1e3, 1),
+            "text_cached": getattr(tr, "_text_features", None) is not None
+            or getattr(tr, "model_inference", None) is not None,
+            "first_step_s": round(compile_s, 1),
+        }
+
     def step():
         tr.trainable, tr.opt_state, loss, _ = tr._train_step(
             tr.trainable, tr.opt_state, tr.frozen, tr.aux, sb
@@ -135,6 +173,11 @@ def main() -> int:
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--trainers", nargs="+", default=None)
+    ap.add_argument("--mode", choices=["train", "eval"], default="train",
+                    help="train: jitted train-step throughput. eval: the "
+                    "serving path (cached text features + on-device "
+                    "argmax); ZeroshotCLIP(2) are eval-only and benched "
+                    "when requested via --trainers")
     # trailing KEY VALUE config overrides (train.py semantics) — applied to
     # every benched method, e.g.: TRAINER.MUDPT.CTX_INIT "" TRAINER.MUDPT.N_CTX 2
     args, opts = ap.parse_known_args()
@@ -143,8 +186,14 @@ def main() -> int:
         ap.error(f"unknown flags {bad}; config overrides are KEY VALUE pairs")
     args.opts = opts
 
+    zoo = list(ZOO)
+    if args.mode == "eval" and args.trainers:
+        # eval-only methods are benchable on request (not in the train ZOO)
+        zoo += [(n, {}) for n in ("ZeroshotCLIP", "ZeroshotCLIP2")
+                if n in args.trainers]
+
     rows = []
-    for name, extra in ZOO:
+    for name, extra in zoo:
         if args.trainers and name not in args.trainers:
             continue
         try:
@@ -152,7 +201,7 @@ def main() -> int:
         except Exception as e:  # report and continue — one OOM must not
             row = {"trainer": name, "error": f"{type(e).__name__}: {e}"[:200]}
         print(json.dumps({
-            "metric": f"{name} {args.model} train throughput "
+            "metric": f"{name} {args.model} {args.mode} throughput "
                       f"(batch {args.batch}, n_cls {args.n_cls})",
             **row,
         }), flush=True)
