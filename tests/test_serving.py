@@ -14,13 +14,13 @@ import pytest
 import mudpt_tpu.serving as serving
 
 
-def _tiny_trainer(trainer_name, tmp_path, **hp_kw):
+def _tiny_trainer(trainer_name, tmp_path, backbone="test-tiny", **hp_kw):
     from mudpt_tpu.config import default_config
     from mudpt_tpu.trainers import build_trainer
 
     cfg = default_config()
     cfg.TRAINER.NAME = trainer_name
-    cfg.MODEL.BACKBONE.NAME = "test-tiny"
+    cfg.MODEL.BACKBONE.NAME = backbone
     cfg.MODEL.BACKBONE.PATH = "random"
     cfg.DATASET.NAME = "Synthetic"
     cfg.INPUT.SIZE = (32, 32)
@@ -94,6 +94,24 @@ def test_export_zsclip_model_inference_path(tmp_path):
     # (the fp32 trainers above pin the path itself at 1e-5)
     np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
     np.testing.assert_array_equal(got.argmax(-1), want.argmax(-1))
+
+
+def test_export_rn_backbone_round_trip(tmp_path):
+    """Serving export with an RN trunk (conv tower + attnpool instead of
+    the ViT path the other export tests pin): CoOp on test-tiny-rn
+    exports, round-trips, and matches the trainer forward."""
+    tr = _tiny_trainer("CoOp", tmp_path, backbone="test-tiny-rn")
+    art = str(tmp_path / "artifact")
+    serving.export_trainer(art, tr, platforms=("cpu",))
+    clf = serving.load(art)
+    for B in (1, 4):
+        imgs = _images(B, seed=B)
+        got = clf.predict(imgs)
+        want = np.asarray(
+            tr.forward(tr.trainable, tr.frozen, tr.aux, imgs)
+        )[:, : tr.num_classes]
+        assert got.shape == (B, tr.num_classes)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
 def test_export_cocoop_requires_pinned_batch(tmp_path):
