@@ -112,6 +112,11 @@ def trainable_to_reference_state_dict(
     if set(trainable) & {"visual_deep_prompts", "text_deep_prompts"} or (
         set(trainable) == {"visual_ctx"}
     ):  # VPT/MPT: per-block visual_ctx params on both towers
+        if "ctx" in trainable:
+            # MPT's learnable layer-0 text context — the reference keeps
+            # it on the TextPromptLearner under the name visual_ctx
+            # (mpt.py:77, the freeze-rule trick)
+            sd["text_prompt_learner.visual_ctx"] = _t(trainable["ctx"])
         if "visual_ctx" in trainable:
             sd["image_encoder.visual_ctx"] = _t(trainable["visual_ctx"])
         for tower, key in (("image_encoder", "visual_deep_prompts"),

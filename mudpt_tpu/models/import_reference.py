@@ -189,8 +189,13 @@ def reference_state_dict_to_trainable(
     if "ctx" in sd:  # CoOp PromptLearner: ctx (+ class buffers we drop)
         return {"ctx": _np(sd["ctx"])}, "CoOp"
     # VPT/MPT: whole-model dict whose only learned params are the
-    # visual_ctx names (clip/model.py:216-226 + :456-465)
+    # visual_ctx names (clip/model.py:216-226 + :456-465).  MPT's
+    # TextPromptLearner additionally owns the layer-0 text context —
+    # a parameter ALSO named visual_ctx (mpt.py:77, the freeze-rule
+    # trick) — which maps to our "ctx" leaf.
     tree: dict = {}
+    if "text_prompt_learner.visual_ctx" in sd:
+        tree["ctx"] = _np(sd["text_prompt_learner.visual_ctx"])
     if "image_encoder.visual_ctx" in sd:
         tree["visual_ctx"] = _np(sd["image_encoder.visual_ctx"])
     vis_deep = _stacked_resblock_ctx(sd, "image_encoder")

@@ -1,15 +1,18 @@
 """VPT / MPT: independent deep visual (and text) prompts.
 
-Reference trainers/vpt.py + trainers/mpt.py share the same structure: fixed
-hand-written text prompt ("a photo of a <cls>.", frozen embeddings —
-vpt.py:43-70), learnable per-block prompt tokens spliced into the towers
-(``ResidualAttentionBlock_VPT``, clip/model.py:202-251; ViT-owned layer-0
-prompt, clip/model.py:456-465,481-483).  VPT configs enable only the visual
-side; MPT enables both (the trainers differ purely by configuration — the
-reference's freeze rules "visual_ctx"/"ctx" select exactly the prompt
-parameters that exist, SURVEY.md §2.3).
+Reference trainers/vpt.py + trainers/mpt.py share the per-block deep-prompt
+structure (``ResidualAttentionBlock_VPT``, clip/model.py:202-251; ViT-owned
+layer-0 prompt, clip/model.py:456-465,481-483).  They differ on the text
+layer 0: VPT's text prompt is a FIXED hand prompt ("a photo of a <cls>.",
+frozen embeddings — vpt.py:43-70), while MPT's ``TextPromptLearner`` owns a
+LEARNABLE layer-0 text context (mpt.py:77 — a (n_ctx, 512) parameter,
+deliberately named ``visual_ctx`` for the freeze rule) spliced CoOp-style
+between SOS and the classname suffix (mpt.py:95-124).  The reference's
+freeze rules "visual_ctx"/"ctx" then select exactly the prompt parameters
+that exist (SURVEY.md §2.3).
 
 Trainable pytree (whatever the config enables):
+  ctx                  (txt_n_ctx, 512)          — MPT layer-0 text splice
   visual_ctx           (img_n_ctx, 768)          — layer-0 append
   visual_deep_prompts  (vis_depth-1, img_n_ctx, 768)  — blocks 1..depth-1
   text_deep_prompts    (txt_depth-1, txt_n_ctx, 512)  — blocks 1..depth-1
@@ -22,7 +25,12 @@ import jax.numpy as jnp
 from mudpt_tpu.models.clip import cosine_logits, encode_image
 from mudpt_tpu.models.text import text_forward
 from mudpt_tpu.trainers.base import TrainerBase
-from mudpt_tpu.trainers.prompt_utils import embed_classnames, random_ctx
+from mudpt_tpu.trainers.prompt_utils import (
+    compose_prompts,
+    ctx_vectors_from_init,
+    embed_classnames,
+    random_ctx,
+)
 from mudpt_tpu.utils.registry import TRAINER_REGISTRY
 from mudpt_tpu.utils.rng import new_rng
 
@@ -30,9 +38,18 @@ import jax
 
 
 def vpt_text_features(trainable, frozen, aux, *, clip_cfg, compute_dtype, mesh_ctx=None):
-    # fixed full prompt embeddings (n_cls, 77, D): prefix+suffix are the
-    # entire hand prompt — no learnable layer-0 text ctx (vpt.py:43-70)
-    prompts = jnp.concatenate([aux["token_prefix"], aux["token_suffix"]], axis=1)
+    ctx = trainable.get("ctx")
+    if ctx is not None:
+        # MPT: learnable layer-0 text ctx between SOS and suffix
+        # (mpt.py:109-124 construct_prompts)
+        prompts = compose_prompts(ctx, aux["token_prefix"], aux["token_suffix"])
+    else:
+        # VPT: fixed full prompt embeddings (n_cls, 77, D) — prefix+suffix
+        # are the entire hand prompt, no learnable layer-0 text ctx
+        # (vpt.py:43-70)
+        prompts = jnp.concatenate(
+            [aux["token_prefix"], aux["token_suffix"]], axis=1
+        )
     return text_forward(
         frozen["text"],
         prompts.astype(compute_dtype),
@@ -71,6 +88,9 @@ class VPT(TrainerBase):
     model_name = "VisualPromptLearner"  # reference vpt.py:159
     hparams_key = "VPT"
     requires_vit = True
+    # MPT owns a learnable layer-0 text ctx (mpt.py:77); VPT's text prompt
+    # is entirely frozen (vpt.py:43-70)
+    text_l0_ctx = False
 
     def build_model(self):
         cfg = self.cfg
@@ -79,7 +99,7 @@ class VPT(TrainerBase):
         self.clip_cfg = clip_cfg
         tdim, vdim = clip_cfg.transformer_width, clip_cfg.vision_width
         key = new_rng(cfg.SEED)
-        ks = jax.random.split(key, 3)
+        ks = jax.random.split(key, 4)
 
         trainable = {}
         vis_depth, vis_n = hp.VISUAL_PROMPT_DEPTH, hp.DEEP_VISUAL_N_CTX
@@ -94,22 +114,45 @@ class VPT(TrainerBase):
             trainable["text_deep_prompts"] = random_ctx(
                 ks[2], (txt_depth - 1, txt_n, tdim)
             )
+        ctx_init = hp.TEXT_CTX_INIT.replace("_", " ")
+        n_ctx_embed = 0
+        if self.text_l0_ctx and txt_n > 0:
+            # MPT's learnable layer-0 text context (mpt.py:55-77): init
+            # from the first txt_n BPE tokens of TEXT_CTX_INIT (the
+            # tokenized classname prompts keep the FULL ctx_init string as
+            # prefix — mpt.py:64,79 — so suffix starts at 1+n_ctx of it),
+            # else random std 0.02
+            if ctx_init:
+                trainable["ctx"] = ctx_vectors_from_init(
+                    params["text"], ctx_init, txt_n
+                )
+                prompt_prefix = ctx_init
+            else:
+                trainable["ctx"] = random_ctx(ks[3], (txt_n, tdim))
+                prompt_prefix = " ".join(["X"] * txt_n)
+            n_ctx_embed = txt_n
+        else:
+            prompt_prefix = ctx_init
         if not trainable:
             raise ValueError(
                 f"{cfg.TRAINER.NAME}: no prompts enabled — set "
                 "VISUAL_PROMPT_DEPTH/DEEP_VISUAL_N_CTX (and/or TEXT_* for MPT)"
             )
         print(f"Trainable prompts: {sorted(trainable)}")
-        # no text-side trainables (every VPT config; MPT with
-        # TEXT_PROMPT_DEPTH<=1) -> text features are a pure function of
-        # the frozen tower: encode once at build, train on cached rows
-        # (base._cache_static_text).  The reference re-encodes the frozen
-        # text tower every step (vpt.py:96-101).
-        self.static_text = "text_deep_prompts" not in trainable
+        # no text-side trainables (every VPT config) -> text features are a
+        # pure function of the frozen tower: encode once at build, train on
+        # cached rows (base._cache_static_text).  The reference re-encodes
+        # the frozen text tower every step (vpt.py:96-101).  MPT's layer-0
+        # text ctx makes its text features always trainable-dependent.
+        self.static_text = (
+            "text_deep_prompts" not in trainable and "ctx" not in trainable
+        )
 
-        # embed the full fixed prompt; n_ctx=0 so prefix+suffix is everything
+        # embed the fixed prompt; for VPT n_ctx=0 (prefix+suffix is the
+        # whole hand prompt), for MPT the ctx slice replaces positions
+        # 1..1+n_ctx of it
         aux_cls = embed_classnames(
-            params["text"], self.classnames, 0, hp.TEXT_CTX_INIT.replace("_", " ")
+            params["text"], self.classnames, n_ctx_embed, prompt_prefix
         )
         self.place(
             frozen=params,
@@ -126,7 +169,10 @@ class VPT(TrainerBase):
 @TRAINER_REGISTRY.register()
 class MPT(VPT):
     """Multi-modal (text + visual) independent prompts (reference
-    trainers/mpt.py:177-293) — VPT with the text side enabled by config."""
+    trainers/mpt.py:177-293) — VPT's deep-prompt structure plus the
+    learnable layer-0 text context its TextPromptLearner owns
+    (mpt.py:55-124)."""
 
     model_name = "MultiModalPromptLearner"  # reference mpt.py:217
     hparams_key = "MPT"
+    text_l0_ctx = True

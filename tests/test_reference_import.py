@@ -133,6 +133,45 @@ def test_vpt_mpt_import_exact_tree(tmp_path):
     )
 
 
+def test_mpt_import_maps_text_learner_ctx(tmp_path):
+    """A TRUE MPT checkpoint (reference trainers/mpt.py CustomCLIP)
+    additionally carries the learnable layer-0 text context on its
+    TextPromptLearner — a parameter named ``visual_ctx`` (mpt.py:77) —
+    which must land in our ``ctx`` leaf alongside the per-block stacks."""
+    cfg = _base_cfg(
+        "MPT", DEEP_TEXT_N_CTX=2, DEEP_VISUAL_N_CTX=3, TEXT_PROMPT_DEPTH=2,
+        VISUAL_PROMPT_DEPTH=2, TEXT_CTX_INIT="a photo of a", PREC="fp32",
+    )
+    torch, clip_mod, tmod = _setup("mpt", cfg)
+    clip_model = _tiny_clip(clip_mod, cfg=cfg)
+    ref = tmod.CustomCLIP(cfg, CLASSNAMES, clip_model).float().eval()
+    _save_dassl_checkpoint(tmp_path, "MultiModalPromptLearner", ref, epoch=3)
+
+    tree, _, meta = load_checkpoint(
+        str(tmp_path), "MultiModalPromptLearner", epoch=3
+    )
+    assert meta["trainer"] == "VPT/MPT"
+    np.testing.assert_array_equal(
+        tree["ctx"], t(ref.text_prompt_learner.visual_ctx)
+    )
+    vis = clip_model.visual
+    np.testing.assert_array_equal(tree["visual_ctx"], t(vis.visual_ctx))
+
+    # reverse direction: our MPT tree exports the ctx leaf back onto the
+    # reference learner name
+    from mudpt_tpu.models.export_reference import (
+        trainable_to_reference_state_dict,
+    )
+
+    sd, kind = trainable_to_reference_state_dict(
+        {k: np.asarray(v) for k, v in tree.items()}
+    )
+    assert kind == "VPT/MPT"
+    np.testing.assert_array_equal(
+        sd["text_prompt_learner.visual_ctx"], np.asarray(tree["ctx"])
+    )
+
+
 def test_trainer_load_model_from_reference_dir(tmp_path):
     """End to end at the trainer level: point load_model at a reference
     output directory (torch pickles, reference layout) and the trained

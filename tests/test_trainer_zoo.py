@@ -58,11 +58,15 @@ def test_vpt_trainable_set(tmp_path):
         DEEP_TEXT_N_CTX=2,
     )
     tr = build_trainer(cfg)
+    # MPT also owns the learnable layer-0 text ctx its TextPromptLearner
+    # splices (reference mpt.py:77,95-124)
     assert set(tr.trainable) == {
+        "ctx",
         "visual_ctx",
         "visual_deep_prompts",
         "text_deep_prompts",
     }
+    assert not tr.static_text  # text features depend on the L0 ctx
 
 
 def test_uumudpt_trainable_set(tmp_path):

@@ -342,3 +342,60 @@ def test_coop_ctx_init_parity(ctx_init):
         clip_cfg=clip_cfg, compute_dtype=jnp.float32,
     )
     np.testing.assert_allclose(np.asarray(ours), ref_logits, **TOL)
+
+
+def test_mpt_parity():
+    """TRUE MPT (reference trainers/mpt.py CustomCLIP, not the VPT-block
+    approximation): its TextPromptLearner owns a LEARNABLE layer-0 text
+    context — a (n_ctx, 512) parameter deliberately named ``visual_ctx``
+    for the freeze rule (mpt.py:77) — spliced CoOp-style between SOS and
+    the classname suffix (construct_prompts, mpt.py:95-124), on top of the
+    VPT-style per-block deep prompts in both towers."""
+    cfg = _base_cfg(
+        "MPT", DEEP_TEXT_N_CTX=2, DEEP_VISUAL_N_CTX=3, TEXT_PROMPT_DEPTH=2,
+        VISUAL_PROMPT_DEPTH=2, TEXT_CTX_INIT="a photo of a", PREC="fp32",
+    )
+    torch, clip_mod, tmod = _setup("mpt", cfg)
+    clip_model = _tiny_clip(clip_mod, cfg=cfg)
+    ref = tmod.CustomCLIP(cfg, CLASSNAMES, clip_model).float().eval()
+
+    from mudpt_tpu.trainers.vpt import vpt_forward
+
+    clip_cfg, frozen = _backbone(clip_model)
+    pl = ref.text_prompt_learner
+    vis = clip_model.visual
+    trainable = {
+        "ctx": t(pl.visual_ctx),  # the L0 text ctx (the name is the trick)
+        "visual_ctx": t(vis.visual_ctx),
+        "visual_deep_prompts": jnp.stack(
+            [t(vis.transformer.resblocks[1].visual_ctx)]
+        ),
+        "text_deep_prompts": jnp.stack(
+            [t(clip_model.transformer.resblocks[1].visual_ctx)]
+        ),
+    }
+    aux = {
+        "token_prefix": t(pl.token_prefix),
+        "token_suffix": t(pl.token_suffix),
+        "eot_idx": jnp.asarray(
+            pl.tokenized_prompted.argmax(dim=-1).numpy().astype(np.int32)
+        ),
+    }
+
+    images = _images()
+    with torch.no_grad():
+        ref_logits = ref(torch.from_numpy(images)).numpy()
+    ours = vpt_forward(
+        trainable, frozen, aux, jnp.asarray(images.transpose(0, 2, 3, 1)),
+        clip_cfg=clip_cfg, compute_dtype=jnp.float32,
+    )
+    np.testing.assert_allclose(np.asarray(ours), ref_logits, **TOL)
+
+    # our MPT trainer's own init reproduces the learner's ctx_init slice
+    from mudpt_tpu.trainers.prompt_utils import ctx_vectors_from_init
+
+    ours_ctx = ctx_vectors_from_init(frozen["text"], "a photo of a", 2)
+    np.testing.assert_allclose(
+        np.asarray(ours_ctx), pl.visual_ctx.detach().numpy(),
+        rtol=1e-6, atol=1e-6,
+    )

@@ -308,6 +308,48 @@ def transplant(method: str, ref):
             ie.visual_ctx_deep_projections.bias,
         ]
         return tree, params
+    if method in ("UMuDPT", "UUMuDPT"):
+        from tests.test_zoo_parity import _head_from_ref
+
+        pl = getattr(ref, f"{method.lower()}_prompt_learner")
+        tree = {
+            "ctx": _tc(pl.ctx),
+            "deep_prompts": _tc(pl.deep_prompts),
+            "t2v": _head_from_ref(pl.ln_pre, pl.self_attn, pl.ln_post,
+                                  pl.visual_proj),
+        }
+        params = list(pl.parameters())
+        if method == "UUMuDPT":
+            vis = ref.image_encoder
+            tree.update(
+                visual_ctx=_tc(vis.visual_ctx),
+                visual_ctx_deep_prompts=_tc(vis.visual_ctx_deep_prompts),
+                v2t=_head_from_ref(
+                    vis.visual_ctx_ln_intra_pre, vis.visual_ctx_self_attn,
+                    vis.visual_ctx_ln_intra_post, vis.visual_ctx_text_proj,
+                ),
+            )
+            # freeze rule uumudpt.py:255-261: prompt_learner + visual_ctx*
+            params += [p for n, p in ref.image_encoder.named_parameters()
+                       if "visual_ctx" in n]
+        return tree, params
+    if method in ("VPT", "MPT"):
+        vis = ref.image_encoder
+        text_tf = ref.text_encoder.transformer
+        tree = {
+            "visual_ctx": _tc(vis.visual_ctx),
+            "visual_deep_prompts": jnp.stack(
+                [_tc(vis.transformer.resblocks[1].visual_ctx)]
+            ),
+        }
+        if method == "MPT":
+            tree["ctx"] = _tc(ref.text_prompt_learner.visual_ctx)
+            tree["text_deep_prompts"] = jnp.stack(
+                [_tc(text_tf.resblocks[1].visual_ctx)]
+            )
+        # freeze rules vpt.py:141-144 / mpt.py:196-202: visual_ctx (+ctx)
+        params = [p for n, p in ref.named_parameters() if "ctx" in n]
+        return tree, params
     raise KeyError(method)
 
 
@@ -335,6 +377,36 @@ METHODS = {
              PREC="fp32"),
         dict(N_CTX=2, CTX_INIT="a photo of a", DEEP_PROMPT_DEPTH=2,
              PREC="fp32"),
+    ),
+    "UMuDPT": (
+        dict(N_CTX=2, CTX_INIT="a photo of a", DEEP_PROMPT_DEPTH=2,
+             PREC="fp32"),
+        dict(N_CTX=2, CTX_INIT="a photo of a", DEEP_PROMPT_DEPTH=2,
+             PREC="fp32"),
+    ),
+    "UUMuDPT": (
+        dict(N_CTX=2, CTX_INIT="a photo of a", DEEP_PROMPT_DEPTH=2,
+             PREC="fp32"),
+        dict(N_CTX=2, CTX_INIT="a photo of a", DEEP_PROMPT_DEPTH=2,
+             PREC="fp32"),
+    ),
+    # VPT: visual prompts only; TEXT_PROMPT_DEPTH=1 => frozen text, which
+    # also drives the engine's static-text train cache through the A/B
+    "VPT": (
+        dict(VISUAL_PROMPT_DEPTH=2, DEEP_VISUAL_N_CTX=3,
+             TEXT_PROMPT_DEPTH=1, DEEP_TEXT_N_CTX=2,
+             TEXT_CTX_INIT="a photo of a", PREC="fp32"),
+        dict(VISUAL_PROMPT_DEPTH=2, DEEP_VISUAL_N_CTX=3,
+             TEXT_PROMPT_DEPTH=1, DEEP_TEXT_N_CTX=2,
+             TEXT_CTX_INIT="a photo of a", PREC="fp32"),
+    ),
+    "MPT": (
+        dict(VISUAL_PROMPT_DEPTH=2, DEEP_VISUAL_N_CTX=3,
+             TEXT_PROMPT_DEPTH=2, DEEP_TEXT_N_CTX=2,
+             TEXT_CTX_INIT="a photo of a", PREC="fp32"),
+        dict(VISUAL_PROMPT_DEPTH=2, DEEP_VISUAL_N_CTX=3,
+             TEXT_PROMPT_DEPTH=2, DEEP_TEXT_N_CTX=2,
+             TEXT_CTX_INIT="a photo of a", PREC="fp32"),
     ),
 }
 
@@ -484,6 +556,15 @@ def torch_eval(torch, ref, batches):
     return 100.0 * correct / max(total, 1)
 
 
+def _patch_vpt_cpu(method, ref):
+    """Reference VPT's TextPromptLearner.forward hardcodes .cuda()
+    (vpt.py:69 — the documented CPU bug, SURVEY.md §2.5); return the
+    frozen prompt embeddings as-is for the CPU A/B."""
+    if method == "VPT":
+        pl = ref.text_prompt_learner
+        pl.forward = lambda pl=pl: pl.prompts
+
+
 def torch_transfer_eval(torch, clip_mod, method, rcfg, tower_cfg,
                         trained_ref, new_classnames, pt_path, test_batches):
     """The base->new checkpoint-transfer semantics (trainers/mudpt.py:
@@ -505,6 +586,7 @@ def torch_transfer_eval(torch, clip_mod, method, rcfg, tower_cfg,
     )
     tmod = importlib.import_module(f"trainers.{method.lower()}")
     ref_new = tmod.CustomCLIP(rcfg, new_classnames, model2).float().eval()
+    _patch_vpt_cpu(method, ref_new)
     sd = {k: v.clone() for k, v in trained_ref.state_dict().items()}
     for k in [k for k in sd if k.endswith(("token_prefix", "token_suffix"))]:
         del sd[k]
@@ -525,7 +607,10 @@ def run_ab(method: str, seed: int, epochs: int, workdir: str, pt_path: str):
     rcfg = ref_cfg_for(method, ref_hp)
     # tower selection: CLIP(cfg=...) only for methods with their own tower
     # variant; the plain towers reject non-VPT cfgs (clip/model.py:458)
-    tower_cfg = rcfg if method in ("MuDPT", "UMuDPT", "UUMuDPT") else None
+    tower_cfg = (
+        rcfg if method in ("MuDPT", "UMuDPT", "UUMuDPT", "VPT", "MPT")
+        else None
+    )
     clip_mod = importlib.import_module("clip.model")
     tmod = importlib.import_module(f"trainers.{method.lower()}")
 
@@ -565,6 +650,7 @@ def run_ab(method: str, seed: int, epochs: int, workdir: str, pt_path: str):
             ref = tmod.CustomCLIP(
                 rcfg, dataset.classnames, stage_clip
             ).float().eval()
+            _patch_vpt_cpu(method, ref)
             tree, torch_params = transplant(method, ref)
             set_our_init(tr, tree)
 
@@ -613,7 +699,10 @@ def run_ab(method: str, seed: int, epochs: int, workdir: str, pt_path: str):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--methods", nargs="*", default=["CoOp", "CoCoOp", "MuDPT"])
+    ap.add_argument(
+        "--methods", nargs="*",
+        default=["CoOp", "CoCoOp", "MuDPT", "UMuDPT", "UUMuDPT", "VPT", "MPT"],
+    )
     ap.add_argument("--seeds", nargs="*", type=int, default=[1, 2, 3])
     ap.add_argument("--epochs", type=int, default=10)
     ap.add_argument("--pretrain-steps", type=int, default=150)
