@@ -404,7 +404,7 @@ class TrainerBase:
         n_cls = self.num_classes
         fwd_text = getattr(self, "forward_text", None)
         fwd_image = getattr(self, "forward_image", None)
-        # static_text trainers (VPT/MPT configs with no text-side prompt
+        # static_text trainers (VPT configs — no text-side prompt
         # parameters) train against text features encoded ONCE at build —
         # the key is present in aux iff _cache_static_text ran, so direct
         # _train_step callers that never populated it (tests, bench
