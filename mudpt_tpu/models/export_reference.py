@@ -110,8 +110,12 @@ def trainable_to_reference_state_dict(
         _lin(sd, "meta_net.linear2", trainable["meta_net"]["linear2"])
         return sd, "CoCoOp"
     if set(trainable) & {"visual_deep_prompts", "text_deep_prompts"} or (
-        set(trainable) == {"visual_ctx"}
-    ):  # VPT/MPT: per-block visual_ctx params on both towers
+        "visual_ctx" in trainable
+    ):  # VPT/MPT: per-block visual_ctx params on both towers.  Any tree
+        # still holding visual_ctx here is VPT/MPT (MuDPT/UUMuDPT matched
+        # above) — including MPT depth-1 configs whose only leaves are
+        # {ctx, visual_ctx}; those must NOT fall through to the CoOp
+        # branch below, which would drop visual_ctx and mis-key ctx
         if "ctx" in trainable:
             # MPT's learnable layer-0 text context — the reference keeps
             # it on the TextPromptLearner under the name visual_ctx

@@ -124,12 +124,19 @@ def load_backbone(cfg):
         params = init_clip_params(new_rng(0), clip_cfg)
         return clip_cfg, params
     # PATH unset: pretrained weights are REQUIRED — cache hit, else download.
-    cache = os.path.expanduser(
-        os.path.join("~/.cache/clip", name.replace("/", "-") + ".pt")
-    )
+    from mudpt_tpu.models.download import _MODELS, download_model
+
+    if name in _MODELS:
+        # the cache filename is the download URL's basename (the layout
+        # download_model and the reference's clip.load share) — for
+        # 'ViT-L/14@336px' that is 'ViT-L-14-336px.pt', which a naive
+        # name.replace('/', '-') would miss
+        basename = os.path.basename(_MODELS[name])
+    else:
+        basename = name.replace("/", "-") + ".pt"
+    cache = os.path.expanduser(os.path.join("~/.cache/clip", basename))
     if os.path.exists(cache):
         return load_clip_checkpoint(cache)
-    from mudpt_tpu.models.download import _MODELS, download_model
 
     if name in _MODELS:
         try:
@@ -371,8 +378,9 @@ class TrainerBase:
     # ------------------------------------------------------------------
     def _cache_static_text(self):
         """When the trainer declares ``static_text`` (text features are
-        independent of the trainable pytree — VPT, and MPT configs with
-        TEXT_PROMPT_DEPTH<=1), encode the n_cls x 77 class-prompt tower
+        independent of the trainable pytree — VPT; MPT never qualifies
+        since it trains its layer-0 text ctx, reference mpt.py:77),
+        encode the n_cls x 77 class-prompt tower
         ONCE and train/eval against the cached rows.  The reference
         re-runs the frozen text encoder every forward
         (/root/reference/trainers/vpt.py:96-101 — CustomCLIP.forward calls

@@ -54,9 +54,9 @@ def build_synth_mudpt_step(
     if model == "test-tiny":  # CPU smoke runs (tests/test_bench.py)
         from mudpt_tpu.trainers.base import TINY_TEST as clip_cfg
     elif model == "ViT-L/14@336px":  # S=577: the 336px fine-tune's grid
-        import dataclasses
+        from mudpt_tpu.trainers.base import _NAMED_CONFIGS
 
-        clip_cfg = dataclasses.replace(VIT_L14, image_resolution=336)
+        clip_cfg = _NAMED_CONFIGS[model]  # the ONE preset definition
     else:
         clip_cfg = VIT_B16 if model == "ViT-B/16" else VIT_L14
     params = cast_matmul_weights(init_clip_params(new_rng(0), clip_cfg), jnp.bfloat16)

@@ -137,3 +137,28 @@ def test_export_cli_tool(tmp_path):
             ckpt["state_dict"]["ctx"].numpy(), tree["ctx"]
         )
         assert ckpt["epoch"] == 3
+
+
+def test_mpt_shallow_tree_exports_as_vpt_mpt():
+    """An MPT tree WITHOUT deep prompts ({ctx, visual_ctx} — depth-1
+    configs) must still export as VPT/MPT with the learner's key names,
+    not fall through to the CoOp branch (which would silently drop
+    visual_ctx and mis-key ctx — caught by the round-5 self-review)."""
+    import numpy as np
+
+    from mudpt_tpu.models.export_reference import (
+        trainable_to_reference_state_dict,
+    )
+
+    tree = {
+        "ctx": np.zeros((2, 64), np.float32),
+        "visual_ctx": np.ones((3, 8), np.float32),
+    }
+    sd, kind = trainable_to_reference_state_dict(tree)
+    assert kind == "VPT/MPT"
+    assert set(sd) == {
+        "text_prompt_learner.visual_ctx", "image_encoder.visual_ctx"
+    }
+    np.testing.assert_array_equal(
+        sd["text_prompt_learner.visual_ctx"], tree["ctx"]
+    )

@@ -239,6 +239,7 @@ def pretrain_backbone(seed: int, data_seed: int, steps: int, pt_path: str):
     rng = np.random.RandomState(500 + seed)
     import torch.nn.functional as F
 
+    loss = torch.zeros(())  # --pretrain-steps 0: harness debugging
     for _ in range(steps):
         idx = rng.choice(len(train_pool), size=32, replace=False)
         items = [train_pool[i] for i in idx]

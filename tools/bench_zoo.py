@@ -97,19 +97,23 @@ def bench_one(name: str, extra: dict, args) -> dict:
     if args.mode == "eval":
         # the serving path evaluate() runs: text features cached ONCE per
         # pass where the method allows (every prompt trainer but CoCoOp;
-        # ZeroshotCLIP caches in aux at build), argmax on device
+        # ZeroshotCLIP caches in aux at build), argmax on device.  Like
+        # evaluate(), strip any build-time static text cache from aux so
+        # the timed program matches the serving one (no duplicated
+        # n_cls x D device operand for static-text trainers)
+        aux = {k: v for k, v in tr.aux.items() if k != "static_text_features"}
         if getattr(tr, "_text_features", None) is not None:
-            txt = tr._text_features(tr.trainable, tr.frozen, tr.aux)
+            txt = tr._text_features(tr.trainable, tr.frozen, aux)
             jax.block_until_ready(txt)
 
             def step():
                 return tr._eval_step_cached(
-                    tr.trainable, tr.frozen, tr.aux, sb["image"], txt
+                    tr.trainable, tr.frozen, aux, sb["image"], txt
                 )
         else:
 
             def step():
-                return tr._eval_step(tr.trainable, tr.frozen, tr.aux, sb["image"])
+                return tr._eval_step(tr.trainable, tr.frozen, aux, sb["image"])
 
         t_compile = time.perf_counter()
         preds = np.asarray(step())  # host fetch bounds the compile
@@ -181,6 +185,8 @@ def main() -> int:
     # trailing KEY VALUE config overrides (train.py semantics) — applied to
     # every benched method, e.g.: TRAINER.MUDPT.CTX_INIT "" TRAINER.MUDPT.N_CTX 2
     args, opts = ap.parse_known_args()
+    if args.steps < 1:
+        ap.error("--steps must be >= 1")
     bad = [o for o in opts if o.startswith("-")]
     if bad:
         ap.error(f"unknown flags {bad}; config overrides are KEY VALUE pairs")
