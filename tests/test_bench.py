@@ -66,3 +66,39 @@ def test_bench_eval_rejects_pipeline_inputs():
     )
     assert proc.returncode != 0
     assert "resident" in proc.stderr
+
+
+def test_bench_zoo_eval_mode_json_contract():
+    """tools/bench_zoo.py --mode eval (the serving-path zoo bench added in
+    round 5): one JSON line per requested method, including the eval-only
+    ZeroshotCLIP, with the serving-aux contract (static text cache
+    stripped — the timed program is evaluate()'s)."""
+    env = dict(os.environ)
+    env.update(
+        JAX_PLATFORMS="cpu",
+        XLA_FLAGS="--xla_force_host_platform_device_count=8",
+    )
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "bench_zoo.py"),
+         "--model", "test-tiny", "--batch", "4", "--n-cls", "4",
+         "--size", "32", "--steps", "2", "--warmup", "1", "--mode", "eval",
+         "--trainers", "VPT", "ZeroshotCLIP"],
+        env=env, capture_output=True, text=True, timeout=600, cwd=REPO,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    rows = [json.loads(l) for l in proc.stdout.strip().splitlines()
+            if l.startswith("{")]
+    by_name = {r["trainer"]: r for r in rows}
+    assert set(by_name) == {"VPT", "ZeroshotCLIP"}
+    for r in by_name.values():
+        assert r["mode"] == "eval" and r["img_per_sec"] > 0
+        assert r["text_cached"] is True
+        assert "error" not in r
+
+    # --steps 0 is an argparse error, not a bogus per-trainer error row
+    bad = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "bench_zoo.py"),
+         "--steps", "0"],
+        env=env, capture_output=True, text=True, timeout=120, cwd=REPO,
+    )
+    assert bad.returncode == 2 and "--steps" in bad.stderr
